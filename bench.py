@@ -1,0 +1,56 @@
+"""Headline benchmark: 2-D cdf97 lifting DWT throughput (Gsamples/s/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's published 2-D cdf97 lifting number — 1024x1024,
+10 levels, 10 iters in 0.3177 s on CPU ≈ 0.033 Gsamples/s
+(/root/reference/README.md:262-263; BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_GSPS = 1024 * 1024 * 10 / 0.317705928 / 1e9  # ≈ 0.033
+
+
+def main():
+    import jax
+    import wavelets_tpu as w
+    from wavelets_tpu.transforms import _dwt_jit
+
+    platform = jax.devices()[0].platform
+    # big enough to saturate HBM on a real chip; modest on CPU fallback
+    size = 8192 if platform != "cpu" else 1024
+    levels = 8
+    dtype = np.float32
+
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    x = jax.device_put(
+        np.random.default_rng(0).standard_normal((size, size)).astype(dtype))
+
+    def step(v):
+        return _dwt_jit(v, wt, levels, 2, True)
+
+    # compile + warmup
+    y = step(x)
+    y.block_until_ready()
+
+    iters = 20 if platform != "cpu" else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = step(x)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    gsps = size * size / dt / 1e9
+    print(json.dumps({
+        "metric": f"2d_cdf97_lifting_dwt_L{levels}_{size}x{size}_{np.dtype(dtype).name}",
+        "value": round(gsps, 4),
+        "unit": "Gsamples/s",
+        "vs_baseline": round(gsps / BASELINE_GSPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

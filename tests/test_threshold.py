@@ -1,0 +1,154 @@
+"""Threshold layer: operator semantics, denoising variants, best basis,
+entropy, matching pursuit.  Mirrors /root/reference/test/threshold.jl with
+stronger (value-level) assertions."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import wavelets_tpu as w
+
+
+def test_threshold_operators_values():
+    x = np.array([-3.0, -1.5, -0.5, 0.0, 0.5, 1.5, 3.0])
+    t = 1.0
+    hard = np.asarray(w.threshold(x, w.HardTH(), t))
+    assert np.allclose(hard, [-3, -1.5, 0, 0, 0, 1.5, 3])
+    soft = np.asarray(w.threshold(x, w.SoftTH(), t))
+    assert np.allclose(soft, [-2, -0.5, 0, 0, 0, 0.5, 2])
+    semi = np.asarray(w.threshold(x, w.SemiSoftTH(), t))
+    # |x|<=t -> 0; t<|x|<2t -> 2(|x|-t)sign; |x|>2t -> x
+    assert np.allclose(semi, [-3, -1, 0, 0, 0, 1, 3])
+    stein = np.asarray(w.threshold(x, w.SteinTH(), t))
+    with np.errstate(divide="ignore"):
+        sh = 1 - t ** 2 / np.where(x == 0, np.inf, x) ** 2
+    expect = np.where(sh < 0, 0, x * sh)
+    assert np.allclose(stein, expect)
+    pos = np.asarray(w.threshold(x, w.PosTH()))
+    assert np.allclose(pos, [-3, -1.5, -0.5, 0, 0, 0, 0])
+    neg = np.asarray(w.threshold(x, w.NegTH()))
+    assert np.allclose(neg, [0, 0, 0, 0, 0.5, 1.5, 3])
+
+
+def test_biggest_mterm():
+    rng = np.random.default_rng(41)
+    x = rng.standard_normal(100)
+    y = np.asarray(w.threshold(x, w.BiggestTH(), 10))
+    assert np.sum(y != 0) == 10
+    kept = np.argsort(np.abs(x))[-10:]
+    assert set(np.nonzero(y)[0]) == set(kept)
+    # matrix input works (reference's out-of-place version errors on this)
+    xm = rng.standard_normal((10, 10))
+    ym = np.asarray(w.threshold(xm, w.BiggestTH(), 5))
+    assert ym.shape == xm.shape and np.sum(ym != 0) == 5
+    assert np.sum(np.asarray(w.threshold(x, w.BiggestTH(), 0)) != 0) == 0
+    assert np.sum(np.asarray(w.threshold(x, w.BiggestTH(), 1000)) != 0) == 100
+
+
+def test_threshold_smoke_all():
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal(200) * 2
+    for th in (w.BiggestTH(), w.HardTH(), w.SoftTH(), w.SemiSoftTH(),
+               w.SteinTH()):
+        w.threshold(x, th, 2)
+    for th in (w.PosTH(), w.NegTH()):
+        w.threshold(x, th)
+
+
+def test_visushrink():
+    vs = w.VisuShrink.for_length(10)
+    assert vs.t == pytest.approx(np.sqrt(2 * np.log(10)))
+    assert isinstance(vs.th, w.HardTH)
+
+
+def test_denoise_variants():
+    rng = np.random.default_rng(43)
+    n = 256
+    x0 = w.testfunction(n, "Doppler")
+    x = x0 + 0.05 * rng.standard_normal(n)
+    y = np.asarray(w.denoise(x, TI=True))
+    assert np.mean((y - x0) ** 2) < np.mean((x - x0) ** 2)
+    y = np.asarray(w.denoise(x, TI=True, nspin=8))
+    assert np.isfinite(y).all()
+    y = np.asarray(w.denoise(x, TI=False))
+    assert np.mean((y - x0) ** 2) < np.mean((x - x0) ** 2)
+    y = np.asarray(w.denoise(x, None))
+    assert np.isfinite(y).all()
+    y2 = np.asarray(w.denoise(rng.standard_normal((32, 32)), TI=True,
+                              nspin=(2, 2)))
+    assert y2.shape == (32, 32)
+    with pytest.raises(ValueError):
+        w.denoise(x, None, TI=True)
+    with pytest.raises(ValueError):
+        w.denoise(rng.standard_normal((8, 16)))  # must be square
+
+
+def test_noisest():
+    rng = np.random.default_rng(44)
+    sigma = 0.25
+    x = w.testfunction(2048, "HeaviSine") + sigma * rng.standard_normal(2048)
+    est = float(w.noisest(x))
+    assert 0.5 * sigma < est < 2.0 * sigma
+
+
+def test_entropy_values():
+    x = jnp.asarray(np.array([1.0, 0.0, 0.0, 0.0]))
+    # concentrated energy -> zero Shannon entropy with nrm = |x|
+    assert float(w.coefentropy(x, w.ShannonEntropy())) == pytest.approx(0.0)
+    y = jnp.asarray(np.full(4, 0.5))
+    # uniform: s = 1/4 each, sum(-s log s) = log 4
+    assert float(w.coefentropy(y, w.ShannonEntropy())) == pytest.approx(
+        np.log(4.0))
+    # concentration ordering
+    rng = np.random.default_rng(45)
+    spread = rng.standard_normal(64)
+    conc = np.zeros(64); conc[0] = np.linalg.norm(spread)
+    assert float(w.coefentropy(jnp.asarray(conc), w.ShannonEntropy())) <= \
+        float(w.coefentropy(jnp.asarray(spread), w.ShannonEntropy()))
+    assert np.isfinite(float(w.coefentropy(y, w.LogEnergyEntropy())))
+
+
+@pytest.mark.parametrize("n", [1024, 5 * 64])
+def test_bestbasis_roundtrip(n):
+    wt = w.wt.wavelet(w.wt.db4)
+    x = np.sin(4 * np.linspace(0, 2 * np.pi, n, endpoint=False))
+    tree = w.bestbasistree(x, wt)
+    assert w.isvalidtree(n, tree)
+    xtb = w.wpt(x, wt, tree)
+    assert np.allclose(np.asarray(w.iwpt(xtb, wt, tree)), x, atol=1e-10)
+
+
+def test_bestbasis_beats_dwt_entropy():
+    """The best-basis coefficients should be at least as concentrated as the
+    full-depth packet tree's leaves."""
+    n = 512
+    wt = w.wt.wavelet(w.wt.db4)
+    x = np.sin(32 * np.linspace(0, 2 * np.pi, n, endpoint=False))
+    tree = w.bestbasistree(x, wt)
+    y_best = np.asarray(w.wpt(x, wt, tree))
+    y_full = np.asarray(w.wpt(x, wt))
+    nrm = np.linalg.norm(x)
+    e_best = float(w.coefentropy(jnp.asarray(y_best), w.ShannonEntropy(), nrm))
+    e_full = float(w.coefentropy(jnp.asarray(y_full), w.ShannonEntropy(), nrm))
+    assert e_best <= e_full + 1e-9
+
+
+def test_matchingpursuit():
+    rng = np.random.default_rng(46)
+    # orthonormal dictionary: exact recovery drives residual below tol
+    wt = w.wt.wavelet(w.wt.db2)
+    x = np.asarray(w.testfunction(64, "Bumps"))
+    f = lambda v: w.idwt(v, wt)
+    ft = lambda v: w.dwt(v, wt)
+    y = w.matchingpursuit(jnp.asarray(x), f, ft, tol=1e-6)
+    assert np.linalg.norm(np.asarray(f(y)) - x) < 1e-5
+    # overcomplete random dictionary, loose tol, capped atoms
+    N, M = 128, 64
+    A = rng.standard_normal((M, N)) / np.sqrt(M)
+    Aj = jnp.asarray(A)
+    xr = A @ rng.standard_normal(N)
+    y = w.matchingpursuit(jnp.asarray(xr), lambda a: Aj @ a,
+                          lambda a: Aj.T @ a, tol=0.1 * np.linalg.norm(xr),
+                          nmax=200)
+    assert np.linalg.norm(A @ np.asarray(y) - xr) <= \
+        0.5 * np.linalg.norm(xr)

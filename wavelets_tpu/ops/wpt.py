@@ -1,0 +1,102 @@
+"""Wavelet packet transform over arbitrary binary trees.
+
+The tree is host-side static data (NumPy bool heap, see utils/trees.py), so
+tree-driven control flow resolves at trace time: per depth, the active
+segments are gathered with static indices, transformed as one batched
+one-level DWT, and scattered back — the batched-segment formulation of the
+reference's per-segment loop (src/Transforms/transforms_filter.jl:301-359,
+transforms_lifting.jl:283-319) and the direct analogue of the GPU
+extension's base-array launches (ext/WaveletsGPUExt/filter_transforms_gpu.jl:337-381).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.indexing import maxtransformlevels
+from ..utils.trees import isvalidtree, treedepth
+from ..wt.carriers import OrthoFilter, GLS
+from . import filter_fb, lifting
+
+__all__ = ["wpt", "iwpt"]
+
+
+def _level_fw(x, wt):
+    if isinstance(wt, OrthoFilter):
+        h, g = filter_fb.filter_pair(wt)
+        a, d = filter_fb.dwt_level(x, h, g)
+        return jnp.concatenate([a, d], axis=-1)
+    s, d = lifting.lifting_level_fw(x, wt)
+    return jnp.concatenate([s, d], axis=-1)
+
+
+def _level_inv(x, wt):
+    half = x.shape[-1] // 2
+    if isinstance(wt, OrthoFilter):
+        h, g = filter_fb.filter_pair(wt)
+        return filter_fb.idwt_level(x[..., :half], x[..., half:], h, g)
+    return lifting.lifting_level_inv(x[..., :half], x[..., half:], wt)
+
+
+def _wpt_impl(x, wt, tree: np.ndarray, fw: bool):
+    n = x.shape[-1]
+    if not isvalidtree(n, tree):
+        raise ValueError("invalid tree")
+    tree = np.asarray(tree, dtype=bool)
+    if not tree[0]:
+        return x
+
+    Lmax = treedepth(tree) if len(tree) else 0
+    assert Lmax == maxtransformlevels(n)
+    depths = range(Lmax) if fw else range(Lmax - 1, -1, -1)
+
+    y = x
+    for d in depths:
+        nseg = 2 ** d
+        nj = n // nseg
+        # active node flags at this depth: 0-based heap indices [2^d-1, 2^{d+1}-1)
+        flags = tree[nseg - 1: 2 * nseg - 1]
+        runs = _contiguous_runs(np.nonzero(flags)[0])
+        if not runs:
+            continue
+        # static contiguous-slice gather/scatter on the flat axis (trees are
+        # static, so runs resolve at trace time and lower to cheap slice
+        # updates; flat slices keep the level compositions fusion-safe)
+        for lo, hi in runs:
+            sel = y[..., lo * nj: hi * nj]
+            sel = sel.reshape(*sel.shape[:-1], hi - lo, nj)
+            out = _level_fw(sel, wt) if fw else _level_inv(sel, wt)
+            out = out.reshape(*out.shape[:-2], (hi - lo) * nj)
+            if lo == 0 and hi == nseg:
+                y = out
+            else:
+                y = y.at[..., lo * nj: hi * nj].set(out)
+        # keep depth iterations from being fused across the slice updates:
+        # XLA:CPU miscompiles deep gather/update/reshape chains (observed on
+        # jax 0.9.0 — partial-segment updates were corrupted); the barrier
+        # costs nothing here since depths share no fusible elementwise work
+        y = jax.lax.optimization_barrier(y)
+    return y
+
+
+def _contiguous_runs(idx: np.ndarray):
+    """[(lo, hi), ...] half-open runs covering the sorted index array."""
+    runs = []
+    for i in idx:
+        if runs and runs[-1][1] == i:
+            runs[-1][1] = i + 1
+        else:
+            runs.append([int(i), int(i) + 1])
+    return [(lo, hi) for lo, hi in runs]
+
+
+def wpt(x, wt, tree: np.ndarray):
+    """Forward wavelet packet transform along the last axis."""
+    return _wpt_impl(x, wt, tree, fw=True)
+
+
+def iwpt(y, wt, tree: np.ndarray):
+    """Inverse wavelet packet transform along the last axis."""
+    return _wpt_impl(y, wt, tree, fw=False)

@@ -1,0 +1,319 @@
+"""Multi-chip sharded 2-D transforms: shard_map + ring halo exchange.
+
+TPU-native scaling design (this subsystem has no reference analogue — the
+reference is single-process; see SURVEY.md §2.3):
+
+* images are sharded by rows over a 1-D device mesh axis, P(axis, None);
+* the row-direction (last-axis) transform of each level is fully local;
+* the column-direction transform needs only a (filterlen-2)-row periodic
+  halo from the ring neighbors — periodic boundaries make the mesh ring
+  *exactly* the boundary topology, so each level costs one
+  `lax.ppermute` pair per axis and zero other communication;
+* per level the active (scaling) band halves; it is re-sharded across all
+  devices between levels (a slice under GSPMD), keeping every chip busy at
+  every level;
+* when the active band becomes too small to shard (local rows < halo or
+  odd), the level falls back to the plain global formulation — the band is
+  then tiny (O(m / 2^l)) and XLA replicates it cheaply.
+
+Outputs use the same packed layout as the single-chip API, so
+``sharded.dwt2`` is a drop-in for ``dwt`` on 2-D arrays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.shard_map import shard_map
+
+from ..utils.indexing import maxtransformlevels
+from ..wt.carriers import OrthoFilter, GLS
+from ..wt.schemes import PREDICT
+from ..ops import filter_fb, lifting
+
+__all__ = ["make_mesh", "dwt2", "idwt2", "shard_rows"]
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    return Mesh(np.array(devs[:n_devices]), (axis,))
+
+
+def shard_rows(x, mesh: Mesh, axis: str = "x"):
+    """Place a 2-D array row-sharded over the mesh axis."""
+    return jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+
+
+def _ring_from_next(blk, rows, axis_name, nd):
+    """Each device receives the *next* device's first ``rows`` rows."""
+    perm = [(j, (j - 1) % nd) for j in range(nd)]
+    return lax.ppermute(blk[:rows], axis_name, perm=perm)
+
+
+def _ring_from_prev(blk, rows, axis_name, nd):
+    """Each device receives the *previous* device's last ``rows`` rows."""
+    perm = [(j, (j + 1) % nd) for j in range(nd)]
+    return lax.ppermute(blk[blk.shape[0] - rows:], axis_name, perm=perm)
+
+
+# --- filter engine: one 2-D level ------------------------------------------
+
+def _filter_level2_fw_body(blk, h, g, axis_name, nd):
+    """blk: (m_loc, n) local rows.  Returns (top, bottom) local chunks of the
+    global row-transformed-then-column-transformed level output."""
+    # rows: fully local, periodic along the last axis
+    a, d = filter_fb.dwt_level(blk, h, g)
+    rowt = jnp.concatenate([a, d], axis=-1)
+
+    # columns: halo-extended, no mod needed — ring wrap IS the periodic wrap
+    flen = len(h)
+    wrap = flen - 2
+    r = rowt.shape[0]
+    if wrap > 0:
+        below = _ring_from_next(rowt, min(wrap, r), axis_name, nd)
+        above = _ring_from_prev(rowt, min(wrap, r), axis_name, nd)
+        ext = jnp.concatenate([above, rowt, below], axis=0)
+    else:
+        ext = rowt
+    hj = jnp.asarray(h, dtype=blk.dtype)
+    gj = jnp.asarray(g[::-1].copy(), dtype=blk.dtype)
+    a0 = hj[0] * lax.slice_in_dim(ext, wrap, wrap + r, 2, axis=0)
+    d0 = gj[0] * lax.slice_in_dim(ext, 0, r, 2, axis=0)
+    for m in range(1, flen):
+        a0 = a0 + hj[m] * lax.slice_in_dim(ext, wrap + m, wrap + m + r - 1, 2, axis=0)
+        d0 = d0 + gj[m] * lax.slice_in_dim(ext, m, m + r - 1, 2, axis=0)
+    return a0, d0
+
+
+def _filter_level2_inv_body(a_blk, d_blk, h, g, axis_name, nd):
+    """Inverse 2-D level: (top-half, bottom-half) local chunks -> local rows."""
+    flen = len(h)
+    fa = (flen - 1) // 2          # scaling halo from prev
+    bd = (flen - 1) // 2          # detail halo from next
+    hl = a_blk.shape[0]
+
+    # column inverse along axis 0
+    if fa > 0:
+        a_ext = jnp.concatenate(
+            [_ring_from_prev(a_blk, min(fa, hl), axis_name, nd), a_blk], axis=0)
+    else:
+        a_ext = a_blk
+    if bd > 0:
+        d_ext = jnp.concatenate(
+            [d_blk, _ring_from_next(d_blk, min(bd, hl), axis_name, nd)], axis=0)
+    else:
+        d_ext = d_blk
+
+    def upsample0(v):
+        z = jnp.zeros_like(v)
+        u = jnp.stack([v, z], axis=1)
+        return u.reshape(v.shape[0] * 2, *v.shape[1:])
+
+    zpad = (flen - 1) - 2 * fa  # 0 or 1
+    ue = upsample0(a_ext)
+    if zpad:
+        ue = jnp.concatenate([jnp.zeros_like(ue[:zpad]), ue], axis=0)
+    we = upsample0(d_ext)
+    we = jnp.concatenate([jnp.zeros_like(we[:1]), we], axis=0)
+
+    hj = jnp.asarray(h[::-1].copy(), dtype=a_blk.dtype)
+    gj = jnp.asarray(g, dtype=a_blk.dtype)
+    r = 2 * hl
+    col = hj[0] * lax.slice_in_dim(ue, 0, r, 1, axis=0) \
+        + gj[0] * lax.slice_in_dim(we, 0, r, 1, axis=0)
+    for m in range(1, flen):
+        col = col + hj[m] * lax.slice_in_dim(ue, m, m + r, 1, axis=0)
+        col = col + gj[m] * lax.slice_in_dim(we, m, m + r, 1, axis=0)
+
+    # row inverse: local periodic
+    half = col.shape[-1] // 2
+    return filter_fb.idwt_level(col[..., :half], col[..., half:], h, g)
+
+
+# --- lifting engine: one 2-D level -----------------------------------------
+
+def _lift_steps_axis0(s, d, scheme, fw, axis_name, nd):
+    """Apply the scheme's steps along the sharded row axis with ring halos."""
+    steps = scheme.steps if fw else scheme.steps[::-1]
+    sign = -1.0 if fw else 1.0
+
+    def stencil(src, coef, shift):
+        # result[i] = sum_k coef[k] * src[i + k - shift]  (global rows)
+        offs = [k - shift for k in range(len(coef))]
+        front = max(0, -min(offs))
+        back = max(0, max(offs))
+        rloc = src.shape[0]
+        parts = []
+        if front > 0:
+            parts.append(_ring_from_prev(src, min(front, rloc), axis_name, nd))
+        parts.append(src)
+        if back > 0:
+            parts.append(_ring_from_next(src, min(back, rloc), axis_name, nd))
+        ext = jnp.concatenate(parts, axis=0) if len(parts) > 1 else src
+        acc = None
+        for k, c in enumerate(coef):
+            sl = lax.slice_in_dim(ext, front + offs[k], front + offs[k] + rloc,
+                                  1, axis=0)
+            term = jnp.asarray(c, src.dtype) * sl
+            acc = term if acc is None else acc + term
+        return acc
+
+    for step in steps:
+        if step.kind == PREDICT:
+            s = s + sign * stencil(d, step.coef, step.shift)
+        else:
+            d = d + sign * stencil(s, step.coef, step.shift)
+    return s, d
+
+
+def _lifting_level2_fw_body(blk, scheme, axis_name, nd):
+    s, d = lifting.lifting_level_fw(blk, scheme)  # rows (local, periodic)
+    rowt = jnp.concatenate([s, d], axis=-1)
+    # columns: even/odd split along sharded axis (local rows even => global
+    # parity alignment holds on every device)
+    s0, d0 = rowt[0::2], rowt[1::2]
+    s0, d0 = _lift_steps_axis0(s0, d0, scheme, True, axis_name, nd)
+    dt = blk.dtype
+    return s0 * jnp.asarray(scheme.norm1, dt), d0 * jnp.asarray(scheme.norm2, dt)
+
+
+def _lifting_level2_inv_body(a_blk, d_blk, scheme, axis_name, nd):
+    dt = a_blk.dtype
+    s0 = a_blk * jnp.asarray(1.0 / scheme.norm1, dt)
+    d0 = d_blk * jnp.asarray(1.0 / scheme.norm2, dt)
+    s0, d0 = _lift_steps_axis0(s0, d0, scheme, False, axis_name, nd)
+    col = jnp.stack([s0, d0], axis=1).reshape(
+        s0.shape[0] * 2, *s0.shape[1:])
+    half = col.shape[-1] // 2
+    return lifting.lifting_level_inv(col[..., :half], col[..., half:], scheme)
+
+
+# --- public drivers ---------------------------------------------------------
+
+def _can_shard(m_active: int, nd: int, halo: int) -> bool:
+    m_loc = m_active // nd
+    return (m_active % (2 * nd) == 0) and m_loc >= max(2, halo)
+
+
+def _halo_rows(wt) -> int:
+    if isinstance(wt, OrthoFilter):
+        return max(len(wt.qmf) - 1, 1)
+    h = 1
+    for st in wt.steps:
+        h = max(h, abs(st.shift), len(st.coef))
+    return h
+
+
+def _level_fw_global(active, wt):
+    """Fallback: plain (periodic) one-level 2-D transform, axes last-to-first."""
+    if isinstance(wt, OrthoFilter):
+        h, g = filter_fb.filter_pair(wt)
+        a, d = filter_fb.dwt_level(active, h, g)
+        rowt = jnp.concatenate([a, d], axis=-1)
+        moved = jnp.moveaxis(rowt, 0, -1)
+        a, d = filter_fb.dwt_level(moved, h, g)
+        return jnp.moveaxis(jnp.concatenate([a, d], axis=-1), -1, 0)
+    s, d = lifting.lifting_level_fw(active, wt)
+    rowt = jnp.concatenate([s, d], axis=-1)
+    moved = jnp.moveaxis(rowt, 0, -1)
+    s, d = lifting.lifting_level_fw(moved, wt)
+    return jnp.moveaxis(jnp.concatenate([s, d], axis=-1), -1, 0)
+
+
+def _level_inv_global(active, wt):
+    m = active.shape[0]
+    moved = jnp.moveaxis(active, 0, -1)
+    if isinstance(wt, OrthoFilter):
+        h, g = filter_fb.filter_pair(wt)
+        col = jnp.moveaxis(
+            filter_fb.idwt_level(moved[..., : m // 2], moved[..., m // 2:], h, g),
+            -1, 0)
+        half = col.shape[-1] // 2
+        return filter_fb.idwt_level(col[..., :half], col[..., half:], h, g)
+    col = jnp.moveaxis(
+        lifting.lifting_level_inv(moved[..., : m // 2], moved[..., m // 2:], wt),
+        -1, 0)
+    half = col.shape[-1] // 2
+    return lifting.lifting_level_inv(col[..., :half], col[..., half:], wt)
+
+
+@partial(jax.jit, static_argnames=("wt", "L", "mesh", "axis_name", "fw"))
+def _dwt2_sharded_jit(x, wt, L, mesh, axis_name, fw):
+    nd = mesh.shape[axis_name]
+    m, n = x.shape
+    halo = _halo_rows(wt)
+
+    if isinstance(wt, OrthoFilter):
+        h, g = filter_fb.filter_pair(wt)
+        fw_body = partial(_filter_level2_fw_body, h=h, g=g,
+                          axis_name=axis_name, nd=nd)
+        inv_body = partial(_filter_level2_inv_body, h=h, g=g,
+                           axis_name=axis_name, nd=nd)
+    else:
+        fw_body = partial(_lifting_level2_fw_body, scheme=wt,
+                          axis_name=axis_name, nd=nd)
+        inv_body = partial(_lifting_level2_inv_body, scheme=wt,
+                           axis_name=axis_name, nd=nd)
+
+    spec = P(axis_name, None)
+    fw_shard = shard_map(fw_body, mesh=mesh, in_specs=(spec,),
+                         out_specs=(spec, spec))
+    inv_shard = shard_map(inv_body, mesh=mesh, in_specs=(spec, spec),
+                          out_specs=spec)
+
+    y = x
+    if fw:
+        for l in range(L):
+            msub, nsub = m >> l, n >> l
+            active = y[:msub, :nsub]
+            if _can_shard(msub, nd, halo):
+                top, bot = fw_shard(active)
+                out = jnp.concatenate([top, bot], axis=0)
+            else:
+                out = _level_fw_global(active, wt)
+            y = out if l == 0 else y.at[:msub, :nsub].set(out)
+        return y
+    for l in range(L, 0, -1):
+        msub, nsub = m >> (l - 1), n >> (l - 1)
+        active = y[:msub, :nsub]
+        if _can_shard(msub, nd, halo):
+            out = inv_shard(active[: msub // 2], active[msub // 2:])
+        else:
+            out = _level_inv_global(active, wt)
+        y = out if msub == m else y.at[:msub, :nsub].set(out)
+    return y
+
+
+def dwt2(x, wt, L: int | None = None, mesh: Mesh | None = None,
+         axis_name: str = "x"):
+    """Sharded 2-D forward DWT (filter or lifting), packed layout.
+
+    ``x`` should be row-sharded over ``mesh``'s ``axis_name`` (see
+    :func:`shard_rows`); the result carries the same sharding.
+    """
+    if mesh is None:
+        mesh = make_mesh(axis=axis_name)
+    if L is None:
+        L = maxtransformlevels(x)
+    return _dwt2_sharded_jit(x, wt, int(L), mesh, axis_name, True)
+
+
+def idwt2(y, wt, L: int | None = None, mesh: Mesh | None = None,
+          axis_name: str = "x"):
+    """Inverse of :func:`dwt2`."""
+    if mesh is None:
+        mesh = make_mesh(axis=axis_name)
+    if L is None:
+        L = maxtransformlevels(y)
+    return _dwt2_sharded_jit(y, wt, int(L), mesh, axis_name, False)

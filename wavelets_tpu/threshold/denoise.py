@@ -1,0 +1,127 @@
+"""Denoising: VisuShrink and translation-invariant cycle-spinning.
+
+reference: src/Threshold/denoising.jl.  The TI path — a serial loop of
+circshift -> dwt -> threshold -> idwt -> unshift over prod(nspin) shifts —
+becomes a single vmapped program over the shift axis: every spin runs as
+one batched transform (the batch dimension is also the natural data-
+parallel mesh axis; see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.indexing import maxtransformlevels, iscube, detailrange
+from ..wt.carriers import DiscreteWavelet, OrthoFilter, GLS, wavelet
+from ..wt import classes as _classes
+from ..transforms import _dwt_jit, _as_float
+from .ops import THType, HardTH, threshold
+
+__all__ = ["DNFT", "VisuShrink", "denoise", "noisest", "DEFAULT_WAVELET"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DNFT:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class VisuShrink(DNFT):
+    """Universal threshold sqrt(2 log n) (for unit sigma) with a threshold
+    operator (default hard)."""
+    th: THType
+    t: float
+
+    @staticmethod
+    def for_length(n: int, th: THType = HardTH()) -> "VisuShrink":
+        return VisuShrink(th, float(np.sqrt(2 * np.log(n))))
+
+
+def _default_wavelet():
+    return wavelet(_classes.sym5, "filter")
+
+
+DEFAULT_WAVELET = _default_wavelet()
+
+
+def noisest(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, L: int = 1):
+    """Estimate the noise sigma: MAD of the level-L detail band / 0.6745.
+
+    reference: src/Threshold/denoising.jl:94-110
+    """
+    x = _as_float(x)
+    if wt is None:
+        y = x
+    else:
+        y = _dwt_jit(x, wt, int(L), min(x.ndim, 3), True)
+    r = detailrange(y.shape[0], L)
+    dr = y.reshape(y.shape[0], -1)[r.start: r.stop].reshape(-1) if y.ndim > 1 \
+        else y[r.start: r.stop]
+    med = jnp.median(dr)
+    return jnp.median(jnp.abs(dr - med)) / 0.6745
+
+
+def _spin_shifts(nspin, ndim: int) -> np.ndarray:
+    """All shift vectors of the cycle-spin grid (Fortran order, matching the
+    reference's CartesianIndices enumeration, denoising.jl:113-121)."""
+    if isinstance(nspin, int):
+        nspin = (nspin,)
+    if len(nspin) != ndim:
+        raise ValueError("nspin must have one entry per dimension")
+    grids = [range(s) for s in nspin]
+    # Julia CartesianIndices varies the first axis fastest
+    combos = list(itertools.product(*reversed(grids)))
+    return np.array([c[::-1] for c in combos], dtype=np.int32)
+
+
+def denoise(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, *,
+            L: int | None = None, dnt: DNFT | None = None,
+            estnoise=noisest, TI: bool = False,
+            nspin=None):
+    """Wavelet-shrinkage denoising (reference: denoising.jl:22-82).
+
+    TI=True averages over all circular shifts in the ``nspin`` grid
+    (default 8 per dimension), evaluated as one vmapped batch.
+    """
+    x = _as_float(x)
+    if not iscube(x):
+        raise ValueError("array must be square/cube")
+    if L is None:
+        L = min(maxtransformlevels(x), 6)
+    if dnt is None:
+        dnt = VisuShrink.for_length(x.shape[0])
+    sigma = estnoise(x, wt)
+    t = sigma * dnt.t
+
+    if not TI:
+        if wt is None:
+            return threshold(x, dnt.th, t)
+        y = _dwt_jit(x, wt, int(L), x.ndim, True)
+        y = threshold(y, dnt.th, t)
+        return _dwt_jit(y, wt, int(L), x.ndim, False)
+
+    if wt is None:
+        raise ValueError("TI not supported with wt=None")
+    if nspin is None:
+        nspin = tuple(8 for _ in range(x.ndim))
+    shifts = _spin_shifts(nspin, x.ndim)
+
+    def spin(shift):
+        z = x
+        for ax in range(x.ndim):
+            z = jnp.roll(z, shift[ax], axis=ax)
+        yt = _dwt_jit(z, wt, int(L), x.ndim, True)
+        yt = threshold(yt, dnt.th, t)
+        z = _dwt_jit(yt, wt, int(L), x.ndim, False)
+        for ax in range(x.ndim):
+            z = jnp.roll(z, -shift[ax], axis=ax)
+        return z
+
+    spun = jax.vmap(spin)(jnp.asarray(shifts))
+    return jnp.mean(spun, axis=0)

@@ -1,0 +1,187 @@
+"""Public transform API: dwt/idwt, wpt/iwpt, modwt/imodwt.
+
+Functional analogue of the reference front-end
+(src/Transforms/transforms_main.jl): the transform kind dispatches on the
+wavelet carrier type (OrthoFilter -> filter engine, GLS -> lifting engine);
+the array rank selects 1-D/2-D/3-D.  There are no in-place variants — JAX
+is functional and XLA recovers in-placeness through buffer donation; the
+jitted wrappers here donate their inputs where safe.
+
+All entry points jit-compile once per (shape, dtype, wavelet, levels) and
+cache; wavelet carriers are hashable static arguments.
+
+Integer inputs promote to float (transforms_main.jl:188-190); the packed
+coefficient layout is documented in utils/indexing.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .utils.indexing import maxtransformlevels, sufficientpoweroftwo
+from .utils.trees import maketree
+from .wt.carriers import OrthoFilter, GLS, DiscreteWavelet
+from .ops import filter_fb, lifting, wpt as wpt_ops, modwt as modwt_ops
+
+__all__ = ["dwt", "idwt", "wpt", "iwpt", "modwt", "imodwt", "dwtc", "idwtc"]
+
+# transform dims = array rank, capped at 3 (rank-1/2/3 mirror the reference;
+# higher-rank arrays treat leading axes as batch)
+_MAX_NDT = 3
+
+
+def _as_float(x):
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == jnp.bool_:
+        # Int -> default float (float64 under x64, float32 on accelerators),
+        # mirroring the reference's float() promotion
+        x = x.astype(jax.dtypes.canonicalize_dtype(np.float64))
+    return x
+
+
+def _ndt(x, ndt):
+    if ndt is None:
+        ndt = min(x.ndim, _MAX_NDT)
+    if not 1 <= ndt <= x.ndim:
+        raise ValueError(f"ndt={ndt} invalid for rank-{x.ndim} input")
+    return ndt
+
+
+def _check_levels(x, L, ndt):
+    if L < 0:
+        raise ValueError("L must be non-negative")
+    for s in x.shape[-ndt:]:
+        if not sufficientpoweroftwo(s, L):
+            raise ValueError(
+                f"size {x.shape[-ndt:]} lacks a 2^{L} factor in every "
+                "transform dimension")
+
+
+@partial(jax.jit, static_argnames=("wt", "L", "ndt", "fw"))
+def _dwt_jit(x, wt, L, ndt, fw):
+    if isinstance(wt, OrthoFilter):
+        h, g = filter_fb.filter_pair(wt)
+        if ndt == 1:
+            return filter_fb.dwt1d(x, h, g, L) if fw \
+                else filter_fb.idwt1d(x, h, g, L)
+        return filter_fb.dwt_nd(x, h, g, L, ndt) if fw \
+            else filter_fb.idwt_nd(x, h, g, L, ndt)
+    if ndt == 1:
+        return lifting.dwt1d_lifting(x, wt, L) if fw \
+            else lifting.idwt1d_lifting(x, wt, L)
+    return lifting.dwt_nd_lifting(x, wt, L, ndt) if fw \
+        else lifting.idwt_nd_lifting(x, wt, L, ndt)
+
+
+def dwt(x, wt: DiscreteWavelet, L: int | None = None, *, ndt: int | None = None):
+    """Forward discrete wavelet transform.
+
+    ``x`` — rank-1/2/3 array (or higher: the trailing ``ndt`` axes are
+    transformed, leading axes batch).  ``wt`` — a carrier from
+    ``wt.wavelet``.  ``L`` — number of levels (default: max possible).
+    """
+    x = _as_float(x)
+    ndt = _ndt(x, ndt)
+    if L is None:
+        L = maxtransformlevels(x.shape[-ndt:])
+    _check_levels(x, L, ndt)
+    return _dwt_jit(x, wt, int(L), ndt, True)
+
+
+def idwt(y, wt: DiscreteWavelet, L: int | None = None, *, ndt: int | None = None):
+    """Inverse of :func:`dwt`."""
+    y = _as_float(y)
+    ndt = _ndt(y, ndt)
+    if L is None:
+        L = maxtransformlevels(y.shape[-ndt:])
+    _check_levels(y, L, ndt)
+    return _dwt_jit(y, wt, int(L), ndt, False)
+
+
+# --- wavelet packets --------------------------------------------------------
+
+def _tree_tuple(tree) -> tuple:
+    return tuple(bool(b) for b in np.asarray(tree, dtype=bool))
+
+
+@partial(jax.jit, static_argnames=("wt", "tree", "fw"))
+def _wpt_jit(x, wt, tree, fw):
+    t = np.asarray(tree, dtype=bool)
+    return wpt_ops.wpt(x, wt, t) if fw else wpt_ops.iwpt(x, wt, t)
+
+
+def _wpt_common(x, wt, tree, L, fw):
+    x = _as_float(x)
+    n = x.shape[-1]
+    if tree is None:
+        L = maxtransformlevels(n) if L is None else int(L)
+        tree = maketree(n, L, "full")
+    return _wpt_jit(x, wt, _tree_tuple(tree), fw)
+
+
+def wpt(x, wt: DiscreteWavelet, tree=None, L: int | None = None):
+    """Wavelet packet transform along the last axis.
+
+    ``tree`` is a bool heap vector (see utils.maketree); if omitted, a full
+    L-level tree is used.
+    """
+    return _wpt_common(x, wt, tree, L, fw=True)
+
+
+def iwpt(y, wt: DiscreteWavelet, tree=None, L: int | None = None):
+    """Inverse of :func:`wpt`."""
+    return _wpt_common(y, wt, tree, L, fw=False)
+
+
+# --- MODWT ------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("wt", "L"))
+def _modwt_jit(x, wt, L):
+    return modwt_ops.modwt(x, wt, L)
+
+
+@partial(jax.jit, static_argnames=("wt",))
+def _imodwt_jit(xw, wt):
+    return modwt_ops.imodwt(xw, wt)
+
+
+def modwt(x, wt: OrthoFilter, L: int | None = None):
+    """Maximal-overlap DWT along the last axis -> (..., N, L+1)."""
+    x = _as_float(x)
+    if L is None:
+        from .utils.indexing import maxmodwttransformlevels
+        L = maxmodwttransformlevels(x.shape[-1])
+    return _modwt_jit(x, wt, int(L))
+
+
+def imodwt(xw, wt: OrthoFilter):
+    """Inverse MODWT of an (..., N, L+1) coefficient array."""
+    xw = _as_float(xw)
+    return _imodwt_jit(xw, wt)
+
+
+# --- column-wise transform over the trailing channel axis -------------------
+
+def dwtc(x, wt: DiscreteWavelet, L: int | None = None):
+    """Per-channel 2-D DWT of an (m, n, c) array (channels last).
+
+    The reference declares dwtc but leaves it unimplemented
+    (src/Transforms/transforms_main.jl:180); provided here so the 3-D color
+    path of wplotim works.
+    """
+    x = _as_float(x)
+    moved = jnp.moveaxis(x, -1, 0)  # (c, m, n): channels batch
+    out = dwt(moved, wt, L, ndt=2)
+    return jnp.moveaxis(out, 0, -1)
+
+
+def idwtc(y, wt: DiscreteWavelet, L: int | None = None):
+    """Inverse of :func:`dwtc`."""
+    y = _as_float(y)
+    moved = jnp.moveaxis(y, -1, 0)
+    out = idwt(moved, wt, L, ndt=2)
+    return jnp.moveaxis(out, 0, -1)

@@ -1,0 +1,161 @@
+"""Transform-carrier types: OrthoFilter and GLS, and the wavelet() factory.
+
+These are hashable frozen objects holding float64 coefficients as tuples;
+they are passed to transforms as *static* arguments, so each (wavelet,
+shape, levels) combination compiles once and caches.
+
+Mirrors the reference surface: OrthoFilter / GLS / wavelet()
+(src/WT/wt_main.jl:132-264), QMF-pair derivation
+(src/WT/wt_main.jl:166-183).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple, Union
+
+import numpy as np
+
+from ..utils.signals import mirror
+from .classes import (
+    WaveletClass, OrthoWaveletClass, BiOrthoWaveletClass, Daubechies,
+)
+from .daubechies import daubechies
+from .filters import FILTERS
+from .schemes import SCHEMES, LSStep
+
+__all__ = [
+    "DiscreteWavelet", "FilterWavelet", "LSWavelet",
+    "OrthoFilter", "GLS", "wavelet",
+    "qmf", "makeqmfpair", "makereverseqmfpair",
+    "FILTER", "LIFTING", "PERIODIC",
+]
+
+FILTER = "filter"
+LIFTING = "lifting"
+PERIODIC = "periodic"
+
+_SUPPORTED_BOUNDARIES = (PERIODIC,)
+
+
+class DiscreteWavelet:
+    """Base for transform carriers."""
+
+
+class FilterWavelet(DiscreteWavelet):
+    pass
+
+
+class LSWavelet(DiscreteWavelet):
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class OrthoFilter(FilterWavelet):
+    """Orthogonal filter-bank wavelet: an l2-normalized QMF + a name.
+
+    reference: src/WT/wt_main.jl:139-163
+    """
+    qmf: Tuple[float, ...]
+    name: str
+    boundary: str = PERIODIC
+
+    def __len__(self):
+        return len(self.qmf)
+
+    def qmf_array(self) -> np.ndarray:
+        return np.asarray(self.qmf, dtype=np.float64)
+
+    def scale(self, a: float) -> "OrthoFilter":
+        """Scale all taps by a scalar."""
+        return OrthoFilter(tuple(c * a for c in self.qmf), self.name,
+                           self.boundary)
+
+
+def _ortho_filter_from_class(w: OrthoWaveletClass, boundary: str) -> OrthoFilter:
+    name = w.name()
+    if isinstance(w, Daubechies):
+        h = daubechies(w.vanishingmoments())
+    else:
+        if name not in FILTERS:
+            raise ValueError(f"filter not found: {name!r}")
+        h = FILTERS[name]
+    h = np.asarray(h, dtype=np.float64)
+    h = h / np.linalg.norm(h)
+    return OrthoFilter(tuple(float(c) for c in h), name, boundary)
+
+
+@dataclasses.dataclass(frozen=True)
+class GLS(LSWavelet):
+    """General lifting scheme: step sequence + half normalizations.
+
+    reference: src/WT/wt_main.jl:224-236
+    """
+    steps: Tuple[LSStep, ...]
+    norm1: float
+    norm2: float
+    name: str
+    boundary: str = PERIODIC
+
+
+def _gls_from_class(w: WaveletClass, boundary: str) -> GLS:
+    name = w.name()
+    if name not in SCHEMES:
+        raise ValueError(f"lifting scheme not found: {name!r}")
+    steps, n1, n2 = SCHEMES[name]
+    return GLS(steps, n1, n2, name, boundary)
+
+
+def wavelet(c: WaveletClass, transform: str = FILTER,
+            boundary: str = PERIODIC) -> DiscreteWavelet:
+    """Construct a wavelet carrier from a class.
+
+    ``transform`` is "filter" (OrthoFilter) or "lifting" (GLS);
+    ``boundary`` is "periodic" (the only implemented boundary, as in the
+    reference — src/WT/wt_main.jl:240-264).
+    """
+    if boundary not in _SUPPORTED_BOUNDARIES:
+        raise ValueError(f"unsupported boundary {boundary!r}; "
+                         f"supported: {_SUPPORTED_BOUNDARIES}")
+    if transform == FILTER:
+        if not isinstance(c, OrthoWaveletClass):
+            raise ValueError(
+                f"filter transform requires an orthogonal class, got {c!r} "
+                "(use transform='lifting' for biorthogonal classes)")
+        return _ortho_filter_from_class(c, boundary)
+    if transform == LIFTING:
+        return _gls_from_class(c, boundary)
+    raise ValueError(f"unknown transform type {transform!r}")
+
+
+# --- QMF pair derivation ----------------------------------------------------
+
+def qmf(f: OrthoFilter) -> np.ndarray:
+    return f.qmf_array()
+
+
+def makereverseqmfpair(f: OrthoFilter, fw: bool = True,
+                       dtype=np.float64):
+    """(scfilter, dcfilter) in *reversed* (FIR-state) orientation.
+
+    Forward:  scfilter = reverse(h),  dcfilter = mirror(h)
+    Inverse:  scfilter = h,           dcfilter = reverse(mirror(h))
+
+    reference: src/WT/wt_main.jl:172-183
+    """
+    h = np.asarray(f.qmf, dtype=dtype)
+    if fw:
+        scfilter = h[::-1].copy()
+        dcfilter = mirror(h)
+    else:
+        scfilter = h.copy()
+        dcfilter = mirror(h)[::-1].copy()
+    return scfilter, dcfilter
+
+
+def makeqmfpair(f: OrthoFilter, fw: bool = True, dtype=np.float64):
+    """(scfilter, dcfilter) in convolution orientation (reversed pair
+    reversed back).  reference: src/WT/wt_main.jl:166-169
+    """
+    scfilter, dcfilter = makereverseqmfpair(f, fw, dtype)
+    return scfilter[::-1].copy(), dcfilter[::-1].copy()
