@@ -32,15 +32,25 @@ def main():
     def step(v):
         return _dwt_jit(v, wt, levels, 2, True)
 
+    # On the tunneled "axon" platform block_until_ready returns before the
+    # compute finishes, so use a scalar fetch as the completion barrier: the
+    # device must finish the whole dependency chain to produce the sum, and
+    # transferring one float costs only the tunnel RTT.
+    import jax.numpy as jnp
+
+    def barrier(v):
+        return float(jnp.sum(v[:1, :1]))
+
     # compile + warmup
     y = step(x)
-    y.block_until_ready()
+    barrier(y)
 
     iters = 20 if platform != "cpu" else 3
     t0 = time.perf_counter()
+    y = x
     for _ in range(iters):
-        y = step(x)
-    y.block_until_ready()
+        y = step(y)  # chained: each step depends on the previous
+    barrier(y)
     dt = (time.perf_counter() - t0) / iters
 
     gsps = size * size / dt / 1e9
