@@ -1,0 +1,78 @@
+"""Pallas kernels vs the jnp engines, in TPU interpret mode on CPU —
+the hardware-free accelerator testing strategy (analogue of the
+reference's JLArrays-backed GPU tests, test/gpu.jl)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import wavelets_tpu as w
+from wavelets_tpu.ops.pallas import lifting2d as P
+
+
+@pytest.mark.parametrize("wname", ["cdf97", "db2", "haar"])
+@pytest.mark.parametrize("shape", [(64, 512), (512, 512)])
+def test_pallas_lifting_level_matches_jnp(wname, shape):
+    scheme = w.wt.wavelet(w.wt.ALL_CLASSES[wname], "lifting")
+    rng = np.random.default_rng(71)
+    x = rng.standard_normal(shape).astype(np.float32)
+    assert P.pallas_ok(shape, scheme, 1, np.float32)
+
+    ref = np.asarray(w.dwt(x.astype(np.float64),
+                           w.wt.wavelet(w.wt.ALL_CLASSES[wname], "lifting"), 1))
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(P.dwt2_lifting(jnp.asarray(x), scheme, 1))
+    assert np.abs(y - ref).max() < 1e-4
+
+    with pltpu.force_tpu_interpret_mode():
+        xr = np.asarray(P.idwt2_lifting(jnp.asarray(y), scheme, 1))
+    assert np.abs(xr - x).max() < 1e-4
+
+
+def test_pallas_multilevel_with_tail_fallback():
+    """Deep levels drop below the tile plan and use the jnp fallback."""
+    scheme = w.wt.wavelet(w.wt.cdf97, "lifting")
+    rng = np.random.default_rng(72)
+    x = rng.standard_normal((512, 512)).astype(np.float32)
+    L = 4  # levels 3,4 run at 128,64 wide -> fallback path
+    ref = np.asarray(w.dwt(x.astype(np.float64),
+                           w.wt.wavelet(w.wt.cdf97, "lifting"), L))
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(P.dwt2_lifting(jnp.asarray(x), scheme, L))
+    assert np.abs(y - ref).max() < 1e-3
+    with pltpu.force_tpu_interpret_mode():
+        xr = np.asarray(P.idwt2_lifting(jnp.asarray(y), scheme, L))
+    assert np.abs(xr - x).max() < 1e-4
+
+
+def test_butterfly_lanes_roundtrip():
+    import jax
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(73)
+    v = rng.standard_normal((8, 512)).astype(np.float32)
+
+    def run(fn, inp):
+        def kern(i_ref, o_ref):
+            o_ref[:] = fn(i_ref[:])
+        with pltpu.force_tpu_interpret_mode():
+            return np.asarray(pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct(inp.shape, inp.dtype),
+            )(jnp.asarray(inp)))
+
+    de = run(P._deint_lanes, v)
+    expect = np.concatenate([v[:, 0::2], v[:, 1::2]], axis=1)
+    assert np.array_equal(de, expect)
+    back = run(P._int_lanes, de)
+    assert np.array_equal(back, v)
+
+
+def test_pallas_ok_gating():
+    scheme = w.wt.wavelet(w.wt.cdf97, "lifting")
+    assert not P.pallas_ok((100, 512), scheme, 1, np.float32)  # m % 16
+    assert not P.pallas_ok((512, 100), scheme, 1, np.float32)  # n % 256
+    assert not P.pallas_ok((512, 512), scheme, 1, np.float64)  # dtype
+    assert not P.pallas_ok((512,), scheme, 1, np.float32)      # rank
+    assert P.pallas_ok((512, 512), scheme, 8, np.float32)

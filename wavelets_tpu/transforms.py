@@ -61,8 +61,26 @@ def _check_levels(x, L, ndt):
                 "transform dimension")
 
 
+def _use_pallas(x, wt, L) -> bool:
+    """Route 2-D lifting transforms through the fused Pallas kernels when
+    running on TPU hardware (override with WAVELETS_TPU_PALLAS=0/1)."""
+    import os
+    flag = os.environ.get("WAVELETS_TPU_PALLAS")
+    if flag == "0":
+        return False
+    on_tpu = jax.devices()[0].platform.lower() not in ("cpu", "gpu", "rocm")
+    if flag != "1" and not on_tpu:
+        return False
+    from .ops.pallas.lifting2d import pallas_ok
+    return isinstance(wt, GLS) and x.ndim == 2 and \
+        pallas_ok(x.shape, wt, L, x.dtype)
+
+
 @partial(jax.jit, static_argnames=("wt", "L", "ndt", "fw"))
 def _dwt_jit(x, wt, L, ndt, fw):
+    if ndt == 2 and _use_pallas(x, wt, L):
+        from .ops.pallas.lifting2d import dwt2_lifting, idwt2_lifting
+        return dwt2_lifting(x, wt, L) if fw else idwt2_lifting(x, wt, L)
     if isinstance(wt, OrthoFilter):
         h, g = filter_fb.filter_pair(wt)
         if ndt == 1:
