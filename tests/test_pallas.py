@@ -69,6 +69,21 @@ def test_butterfly_lanes_roundtrip():
     assert np.array_equal(back, v)
 
 
+@pytest.mark.parametrize("wname", ["haar", "db2", "db4", "coif4"])
+def test_pallas_filter_matches_jnp(wname):
+    from wavelets_tpu.ops.pallas import filter2d as F
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname])
+    rng = np.random.default_rng(74)
+    x = rng.standard_normal((512, 512)).astype(np.float32)
+    assert F.pallas_ok(x.shape, wt, 1, np.float32)
+    ref = np.asarray(w.dwt(x.astype(np.float64), wt, 3))
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(F.dwt2_filter(jnp.asarray(x), wt, 3))
+        xr = np.asarray(F.idwt2_filter(jnp.asarray(y), wt, 3))
+    assert np.abs(y - ref).max() < 1e-4
+    assert np.abs(xr - x).max() < 1e-4
+
+
 def test_pallas_ok_gating():
     scheme = w.wt.wavelet(w.wt.cdf97, "lifting")
     assert not P.pallas_ok((100, 512), scheme, 1, np.float32)  # m % 16

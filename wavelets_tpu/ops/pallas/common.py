@@ -1,0 +1,100 @@
+"""Shared Pallas kernel utilities: Mosaic-safe rolls, lane butterflies,
+ring-halo block specs, tile planning.
+
+Mosaic constraints discovered on this toolchain (jax 0.9.0 / TPU v5):
+stride-2 slices fail on both lanes and sublanes; minor-dim transposes fail;
+pltpu.roll requires non-negative shifts.  Everything here sticks to the
+supported set: rolls, iota masks, second-minor reshapes, concatenates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["roll", "deint_lanes", "int_lanes", "halo_specs", "roundup",
+           "pick_col_tm", "pick_row_tm"]
+
+
+def roundup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def roll(v, sh: int, axis: int):
+    """Circular shift; lane axis uses the Mosaic-native pltpu.roll."""
+    if sh % v.shape[axis] == 0:
+        return v
+    if axis == v.ndim - 1:
+        return pltpu.roll(v, sh % v.shape[axis], axis=axis)
+    return jnp.roll(v, sh, axis=axis)
+
+
+def _quarter_swap(v, B: int, lane):
+    """Swap the 2nd and 3rd quarters of every B-lane block."""
+    q = B // 4
+    pos = lane % B
+    second = (pos >= q) & (pos < 2 * q)
+    third = (pos >= 2 * q) & (pos < 3 * q)
+    fwd = roll(v, -q, v.ndim - 1)
+    bwd = roll(v, q, v.ndim - 1)
+    return jnp.where(second, fwd, jnp.where(third, bwd, v))
+
+
+def deint_lanes(v):
+    """Perfect lane unshuffle [s0 d0 s1 d1 ...] -> [s... | d...] in
+    log2(W)-1 roll+mask stages (the only lane permutation Mosaic takes)."""
+    W = v.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    B = 4
+    while B <= W:
+        v = _quarter_swap(v, B, lane)
+        B *= 2
+    return v
+
+
+def int_lanes(v):
+    """Perfect lane shuffle [s... | d...] -> [s0 d0 s1 d1 ...]."""
+    W = v.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    B = W
+    while B >= 4:
+        v = _quarter_swap(v, B, lane)
+        B //= 2
+    return v
+
+
+def halo_specs(tm: int, halo: int, nblocks_h: int, tn: int):
+    """(top-halo, center, bottom-halo) input specs whose index maps wrap
+    modulo the block count — the periodic boundary expressed as a block
+    ring, no padded array copy."""
+    step = tm // halo
+    return [
+        pl.BlockSpec((halo, tn), lambda i, j: ((i * step - 1) % nblocks_h, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((halo, tn), lambda i, j: (((i + 1) * step) % nblocks_h, j),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def pick_col_tm(rows: int, halo: int, cap: int = 1024):
+    """Largest power-of-two row-tile <= cap dividing ``rows`` and a
+    multiple of ``halo`` (so halo blocks land on block-granular offsets)."""
+    tm = cap
+    while tm >= 2 * halo:
+        if rows % tm == 0 and tm % halo == 0:
+            return tm
+        tm //= 2
+    return None
+
+
+def pick_row_tm(m: int, n: int, itemsize: int, budget: int = 2 << 20):
+    """Row-kernel tile: keep one (tm, n) block near the VMEM budget."""
+    bpr = 2 * n * itemsize
+    tm = max(8, min(512, budget // max(bpr, 1)))
+    tm = max(8, (tm // 8) * 8)
+    while tm > 8 and m % tm:
+        tm //= 2
+    return tm if m % tm == 0 else None

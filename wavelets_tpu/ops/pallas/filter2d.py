@@ -1,0 +1,302 @@
+"""Fused Pallas TPU kernels for the 2-D filter-bank DWT.
+
+Same architecture as the lifting kernels (lifting2d.py): per level a row
+kernel over full VMEM-resident rows and a ring-halo column kernel, with
+levels exchanging a quadrant pytree and a single packed-layout assembly at
+the end.  The per-sample math is the closed-form periodic correlation pair
+(see ops/filter_fb.py):
+
+    a[k] = sum_m h[m] x[(2k+m)   mod n]
+    d[k] = sum_m g[m] x[(2k+1-m) mod n]
+
+Row kernel emits the *interleaved* pair z[2k]=a[k], z[2k+1]=d[k]:
+
+    z[t] = even(t) ? sum_m h[m] x[t+m] : sum_m g[m] x[t-m]
+
+i.e. flen lane-rolls per filter + a parity select — circular rolls give the
+periodic wrap exactly.  The column kernel computes the same along sublanes
+on the halved (even/odd row) representation and butterflies lanes into the
+four quadrants.  Inverse kernels implement the exact adjoint.
+
+Reference analogue: the fused filtdown/filtup pair kernels of the GPU
+extension (ext/WaveletsGPUExt/filter_transforms_gpu.jl:4-113), which handle
+one axis per launch; here a whole separable level is two launches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...wt.carriers import OrthoFilter
+from ..filter_fb import filter_pair
+from .common import roll, deint_lanes, int_lanes, halo_specs, roundup, \
+    pick_col_tm, pick_row_tm
+
+__all__ = ["dwt2_filter", "idwt2_filter", "pallas_ok"]
+
+
+def _taps(wt: OrthoFilter, dtype):
+    h, g = filter_pair(wt)
+    return h.astype(np.float32), g.astype(np.float32)
+
+
+# --- tile planning ----------------------------------------------------------
+
+def _plan_level(m: int, n: int, flen: int, dtype):
+    if n % 256 or m % 16:
+        return None
+    halo = roundup(max(flen, 2), 8)        # covers both directions' reach
+    tn = 256 if n % 512 else 512
+    tm_row = pick_row_tm(m, n, np.dtype(dtype).itemsize)
+    if tm_row is None:
+        return None
+    # Mosaic stack-allocates the kernel's live temporaries in VMEM; measured
+    # live set is ~(flen + 8) tiles, so budget the column tile accordingly
+    # (db4 @ tm=1024,tn=512 needed 31.5 MB -> ~15 live 2 MB tiles)
+    budget_elems = (14 << 20) // np.dtype(dtype).itemsize // (flen + 8)
+    cap = 8
+    while cap * 2 * tn <= budget_elems and cap < 1024:
+        cap *= 2
+    cap = max(cap, 2 * halo)
+    tm_col = pick_col_tm(m, halo, cap=cap)
+    tm_col_inv = pick_col_tm(m // 2, halo, cap=min(cap, 512))
+    if tm_col is None or tm_col_inv is None:
+        return None
+    if 2 * halo >= m:
+        return None
+    return tm_row, tm_col, tm_col_inv, halo, tn
+
+
+def pallas_ok(shape, wt: OrthoFilter, L: int, dtype) -> bool:
+    if len(shape) != 2 or L < 1:
+        return False
+    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+        return False
+    m, n = shape
+    return _plan_level(m, n, len(wt.qmf), dtype) is not None
+
+
+# --- row kernels ------------------------------------------------------------
+
+def _row_fw_kernel(x_ref, o_ref, *, h, g):
+    v = x_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    even = (lane % 2) == 0
+    dt = v.dtype
+    za = None
+    zd = None
+    for m_ in range(len(h)):
+        ta = jnp.asarray(h[m_], dt) * roll(v, -m_, v.ndim - 1)
+        td = jnp.asarray(g[m_], dt) * roll(v, m_, v.ndim - 1)
+        za = ta if za is None else za + ta
+        zd = td if zd is None else zd + td
+    o_ref[:] = jnp.where(even, za, zd)
+
+
+def _row_inv_kernel(z_ref, o_ref, *, h, g):
+    z = z_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, z.ndim - 1)
+    even = (lane % 2) == 0
+    dt = z.dtype
+    u = jnp.where(even, z, 0)                    # upsampled a
+    w = jnp.where(even, roll(z, -1, z.ndim - 1), 0)  # upsampled d (shifted)
+    x = None
+    for m_ in range(len(h)):
+        ts = jnp.asarray(h[m_], dt) * roll(u, m_, z.ndim - 1)
+        td = jnp.asarray(g[m_], dt) * roll(w, 1 - m_, z.ndim - 1)
+        t = ts + td
+        x = t if x is None else x + t
+    o_ref[:] = x
+
+
+def _rows(x, wt: OrthoFilter, tm: int, fw: bool):
+    m, n = x.shape
+    h, g = _taps(wt, x.dtype)
+    kern = partial(_row_fw_kernel if fw else _row_inv_kernel, h=h, g=g)
+    return pl.pallas_call(
+        kern,
+        grid=(m // tm,),
+        in_specs=[pl.BlockSpec((tm, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tm, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+    )(x)
+
+
+# --- column kernels ---------------------------------------------------------
+
+def _col_fw_kernel(top_ref, mid_ref, bot_ref,
+                   ll_ref, lh_ref, hl_ref, hh_ref, *, h, g, halo):
+    ext = jnp.concatenate([top_ref[:], mid_ref[:], bot_ref[:]], axis=0)
+    rows, tn = ext.shape
+    r = ext.reshape(rows // 2, 2, tn)
+    e0, e1 = r[:, 0, :], r[:, 1, :]              # even / odd source rows
+    dt = ext.dtype
+    # a[q] = sum_m h[m] ext[2q+m]; d[q] = sum_m g[m] ext[2q+1-m]
+    a = None
+    d = None
+    for m_ in range(len(h)):
+        src_a = e0 if m_ % 2 == 0 else e1
+        ta = jnp.asarray(h[m_], dt) * roll(src_a, -(m_ // 2), 0)
+        # 2q+1-m: odd row (e1) shifted by -((-m)//2) when m even ...
+        if m_ % 2 == 0:
+            td = jnp.asarray(g[m_], dt) * roll(e1, m_ // 2, 0)
+        else:
+            td = jnp.asarray(g[m_], dt) * roll(e0, (m_ - 1) // 2, 0)
+        a = ta if a is None else a + ta
+        d = td if d is None else d + td
+    hh_ = halo // 2
+    q = a.shape[0] - halo
+    a = deint_lanes(a[hh_: hh_ + q])
+    d = deint_lanes(d[hh_: hh_ + q])
+    half = tn // 2
+    ll_ref[:] = a[:, :half]
+    lh_ref[:] = a[:, half:]
+    hl_ref[:] = d[:, :half]
+    hh_ref[:] = d[:, half:]
+
+
+def _cols_fw_quads(x, wt: OrthoFilter, tm: int, halo: int, tn: int):
+    m, n = x.shape
+    h, g = _taps(wt, x.dtype)
+    qshape = jax.ShapeDtypeStruct((m // 2, n // 2), x.dtype)
+    qspec = pl.BlockSpec((tm // 2, tn // 2), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_col_fw_kernel, h=h, g=g, halo=halo),
+        grid=(m // tm, n // tn),
+        in_specs=halo_specs(tm, halo, m // halo, tn),
+        out_specs=(qspec, qspec, qspec, qspec),
+        out_shape=(qshape, qshape, qshape, qshape),
+    )(x, x, x)
+
+
+def _col_inv_kernel(llt, llc, llb, lht, lhc, lhb,
+                    hlt, hlc, hlb, hht, hhc, hhb, x_ref,
+                    *, h, g, halo, tm):
+    a = jnp.concatenate([
+        jnp.concatenate([llt[:], llc[:], llb[:]], axis=0),
+        jnp.concatenate([lht[:], lhc[:], lhb[:]], axis=0)], axis=1)
+    d = jnp.concatenate([
+        jnp.concatenate([hlt[:], hlc[:], hlb[:]], axis=0),
+        jnp.concatenate([hht[:], hhc[:], hhb[:]], axis=0)], axis=1)
+    a = int_lanes(a)
+    d = int_lanes(d)
+    dt = a.dtype
+    # x[2q]   = sum_{m even} h[m] a[q - m/2]     + sum_{m odd}  g[m] d[q + (m-1)/2]
+    # x[2q+1] = sum_{m odd}  h[m] a[q - (m-1)/2] + sum_{m even} g[m] d[q + m/2]
+    x0 = None
+    x1 = None
+    for m_ in range(len(h)):
+        if m_ % 2 == 0:
+            t0 = jnp.asarray(h[m_], dt) * roll(a, m_ // 2, 0)
+            t1 = jnp.asarray(g[m_], dt) * roll(d, -(m_ // 2), 0)
+            x0 = t0 if x0 is None else x0 + t0
+            x1 = t1 if x1 is None else x1 + t1
+        else:
+            t1 = jnp.asarray(h[m_], dt) * roll(a, (m_ - 1) // 2, 0)
+            t0 = jnp.asarray(g[m_], dt) * roll(d, -((m_ - 1) // 2), 0)
+            x1 = t1 if x1 is None else x1 + t1
+            x0 = t0 if x0 is None else x0 + t0
+    x0 = x0[halo: halo + tm]
+    x1 = x1[halo: halo + tm]
+    x_ref[:] = jnp.stack([x0, x1], axis=1).reshape(2 * tm, x0.shape[-1])
+
+
+def _cols_inv_quads(ll, lh, hl, hh, wt: OrthoFilter, tm: int, halo: int,
+                    tn: int):
+    mh, nh = ll.shape
+    h, g = _taps(wt, ll.dtype)
+    hspec = halo_specs(tm, halo, mh // halo, tn // 2)
+    return pl.pallas_call(
+        partial(_col_inv_kernel, h=h, g=g, halo=halo, tm=tm),
+        grid=(mh // tm, 2 * nh // tn),
+        in_specs=hspec + hspec + hspec + hspec,
+        out_specs=pl.BlockSpec((2 * tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * mh, 2 * nh), ll.dtype),
+    )(ll, ll, ll, lh, lh, lh, hl, hl, hl, hh, hh, hh)
+
+
+# --- level + multi-level drivers --------------------------------------------
+
+def _level2_jnp(active, wt: OrthoFilter, fw: bool):
+    from .. import filter_fb as F
+    h, g = filter_pair(wt)
+    if fw:
+        a, d = F.dwt_level(active, h, g)
+        rowt = jnp.concatenate([a, d], axis=-1)
+        moved = jnp.moveaxis(rowt, 0, -1)
+        a, d = F.dwt_level(moved, h, g)
+        return jnp.moveaxis(jnp.concatenate([a, d], axis=-1), -1, 0)
+    m = active.shape[0]
+    moved = jnp.moveaxis(active, 0, -1)
+    col = jnp.moveaxis(
+        F.idwt_level(moved[..., : m // 2], moved[..., m // 2:], h, g), -1, 0)
+    half = col.shape[-1] // 2
+    return F.idwt_level(col[..., :half], col[..., half:], h, g)
+
+
+def _level_fw_quads(active, wt: OrthoFilter):
+    m, n = active.shape
+    plan = _plan_level(m, n, len(wt.qmf), active.dtype)
+    if plan is None:
+        out = _level2_jnp(active, wt, fw=True)
+        mh, nh = m // 2, n // 2
+        return (out[:mh, :nh], out[:mh, nh:], out[mh:, :nh], out[mh:, nh:])
+    tm_row, tm_col, _, halo, tn = plan
+    rowt = _rows(active, wt, tm_row, fw=True)
+    return _cols_fw_quads(rowt, wt, tm_col, halo, tn)
+
+
+def _level_inv_quads(ll, lh, hl, hh, wt: OrthoFilter):
+    mh, nh = ll.shape
+    m, n = 2 * mh, 2 * nh
+    plan = _plan_level(m, n, len(wt.qmf), ll.dtype)
+    if plan is None:
+        packed = jnp.concatenate([
+            jnp.concatenate([ll, lh], axis=1),
+            jnp.concatenate([hl, hh], axis=1)], axis=0)
+        return _level2_jnp(packed, wt, fw=False)
+    tm_row, _, tm_ci, halo, tn = plan
+    col = _cols_inv_quads(ll, lh, hl, hh, wt, tm_ci, halo, tn)
+    return _rows(col, wt, tm_row, fw=False)
+
+
+def dwt2_filter(x, wt: OrthoFilter, L: int):
+    """Multi-level forward 2-D filter-bank DWT, packed layout (Pallas)."""
+    if L == 0:
+        return x
+    ll = x
+    details = []
+    for _ in range(L):
+        ll, lh, hl, hh = _level_fw_quads(ll, wt)
+        details.append((lh, hl, hh))
+    y = ll
+    for lh, hl, hh in reversed(details):
+        y = jnp.concatenate([
+            jnp.concatenate([y, lh], axis=1),
+            jnp.concatenate([hl, hh], axis=1)], axis=0)
+    return y
+
+
+def idwt2_filter(y, wt: OrthoFilter, L: int):
+    """Inverse of dwt2_filter."""
+    if L == 0:
+        return y
+    m, n = y.shape
+    ll = y[: m >> L, : n >> L]
+    for l in range(L, 0, -1):
+        mh, nh = m >> l, n >> l
+        lh = y[:mh, nh: 2 * nh]
+        hl = y[mh: 2 * mh, :nh]
+        hh = y[mh: 2 * mh, nh: 2 * nh]
+        ll = _level_inv_quads(ll, lh, hl, hh, wt)
+    return ll

@@ -71,16 +71,23 @@ def _use_pallas(x, wt, L) -> bool:
     on_tpu = jax.devices()[0].platform.lower() not in ("cpu", "gpu", "rocm")
     if flag != "1" and not on_tpu:
         return False
-    from .ops.pallas.lifting2d import pallas_ok
-    return isinstance(wt, GLS) and x.ndim == 2 and \
-        pallas_ok(x.shape, wt, L, x.dtype)
+    if x.ndim != 2:
+        return False
+    if isinstance(wt, GLS):
+        from .ops.pallas.lifting2d import pallas_ok
+        return pallas_ok(x.shape, wt, L, x.dtype)
+    from .ops.pallas.filter2d import pallas_ok
+    return pallas_ok(x.shape, wt, L, x.dtype)
 
 
 @partial(jax.jit, static_argnames=("wt", "L", "ndt", "fw"))
 def _dwt_jit(x, wt, L, ndt, fw):
     if ndt == 2 and _use_pallas(x, wt, L):
-        from .ops.pallas.lifting2d import dwt2_lifting, idwt2_lifting
-        return dwt2_lifting(x, wt, L) if fw else idwt2_lifting(x, wt, L)
+        if isinstance(wt, GLS):
+            from .ops.pallas.lifting2d import dwt2_lifting, idwt2_lifting
+            return dwt2_lifting(x, wt, L) if fw else idwt2_lifting(x, wt, L)
+        from .ops.pallas.filter2d import dwt2_filter, idwt2_filter
+        return dwt2_filter(x, wt, L) if fw else idwt2_filter(x, wt, L)
     if isinstance(wt, OrthoFilter):
         h, g = filter_fb.filter_pair(wt)
         if ndt == 1:
