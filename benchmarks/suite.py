@@ -1,0 +1,138 @@
+"""Benchmark suite mirroring the reference's grids.
+
+Covers the reference's BenchmarkTools suite (benchmark/benchmarks.jl:22-89:
+dwt/idwt/wpt/iwpt at 1-D 2^{10,15,20}, 2-D {128,512,2048}^2, 3-D
+{32,128,256}^3; filter db4, lifting haar/db2; modwt) plus the GPU-harness
+sizes (gpu_benchmark.jl).  Float32, throughput in Gsamples/s.
+
+Timing uses a chained-dependency loop with a scalar-fetch barrier (the
+tunneled TPU backend's block_until_ready returns early; see bench.py).
+
+Usage:  python benchmarks/suite.py [--quick] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def _timeit(fn, x, iters):
+    import jax.numpy as jnp
+
+    def bar(v):
+        flat = v.reshape(-1)
+        return float(jnp.sum(flat[:1]))
+
+    y = fn(x)
+    bar(y)
+    t0 = time.perf_counter()
+    y = x
+    same_shape = fn(x).shape == x.shape
+    for _ in range(iters):
+        y = fn(y if same_shape else x)
+    bar(y)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import wavelets_tpu as w
+    from wavelets_tpu.transforms import _dwt_jit, _wpt_jit, _modwt_jit, \
+        _tree_tuple
+
+    platform = jax.devices()[0].platform
+    on_cpu = platform == "cpu"
+    iters = 3 if on_cpu else 10
+    rng = np.random.default_rng(0)
+
+    wavelets = {
+        "db4/filter": w.wt.wavelet(w.wt.db4),
+        "haar/lifting": w.wt.wavelet(w.wt.haar, "lifting"),
+        "db2/lifting": w.wt.wavelet(w.wt.db2, "lifting"),
+        "cdf97/lifting": w.wt.wavelet(w.wt.cdf97, "lifting"),
+    }
+
+    if args.quick or on_cpu:
+        shapes_1d = [2 ** 10, 2 ** 15]
+        shapes_2d = [(128, 128), (512, 512)]
+        shapes_3d = [(32, 32, 32)]
+    else:
+        shapes_1d = [2 ** 10, 2 ** 15, 2 ** 20]
+        shapes_2d = [(128, 128), (512, 512), (2048, 2048), (8192, 8192)]
+        shapes_3d = [(32, 32, 32), (128, 128, 128), (256, 256, 256)]
+
+    results = []
+
+    def record(op, wname, shape, dt):
+        nsamp = int(np.prod(shape))
+        gsps = nsamp / dt / 1e9
+        results.append({"op": op, "wavelet": wname,
+                        "shape": "x".join(map(str, np.atleast_1d(shape))),
+                        "ms": round(dt * 1e3, 3), "gsps": round(gsps, 3)})
+
+    def levels_for(shape):
+        ndim = len(np.atleast_1d(shape))
+        cap = {1: 6, 2: 4, 3: 3}[ndim]
+        return min(cap, w.maxtransformlevels(
+            shape if isinstance(shape, int) else min(shape)))
+
+    for wname, wt in wavelets.items():
+        for n in shapes_1d:
+            x = jax.device_put(rng.standard_normal(n).astype(np.float32))
+            L = levels_for(n)
+            record("dwt", wname, n,
+                   _timeit(lambda v: _dwt_jit(v, wt, L, 1, True), x, iters))
+            record("idwt", wname, n,
+                   _timeit(lambda v: _dwt_jit(v, wt, L, 1, False), x, iters))
+        for shape in shapes_2d:
+            x = jax.device_put(rng.standard_normal(shape).astype(np.float32))
+            L = levels_for(shape)
+            record("dwt2", wname, shape,
+                   _timeit(lambda v: _dwt_jit(v, wt, L, 2, True), x, iters))
+            record("idwt2", wname, shape,
+                   _timeit(lambda v: _dwt_jit(v, wt, L, 2, False), x, iters))
+        for shape in shapes_3d:
+            x = jax.device_put(rng.standard_normal(shape).astype(np.float32))
+            L = levels_for(shape)
+            record("dwt3", wname, shape,
+                   _timeit(lambda v: _dwt_jit(v, wt, L, 3, True), x, iters))
+
+    # WPT (full tree) and MODWT, 1-D
+    wt4 = wavelets["db4/filter"]
+    for n in shapes_1d:
+        x = jax.device_put(rng.standard_normal(n).astype(np.float32))
+        tree = _tree_tuple(w.maketree(n, levels_for(n), "full"))
+        record("wpt", "db4/filter", n,
+               _timeit(lambda v: _wpt_jit(v, wt4, tree, True), x, iters))
+        record("iwpt", "db4/filter", n,
+               _timeit(lambda v: _wpt_jit(v, wt4, tree, False), x, iters))
+        record("modwt", "db4/filter", n,
+               _timeit(lambda v: _modwt_jit(v, wt4, min(6, levels_for(n))),
+                       x, iters))
+
+    if args.json:
+        for r in results:
+            print(json.dumps(r))
+    else:
+        print(f"platform={platform}  iters={iters}  float32")
+        print(f"{'op':7} {'wavelet':14} {'shape':16} {'ms':>10} {'Gs/s':>9}")
+        for r in results:
+            print(f"{r['op']:7} {r['wavelet']:14} {r['shape']:16} "
+                  f"{r['ms']:>10.3f} {r['gsps']:>9.3f}")
+
+
+if __name__ == "__main__":
+    main()
