@@ -84,6 +84,40 @@ def test_pallas_filter_matches_jnp(wname):
     assert np.abs(xr - x).max() < 1e-4
 
 
+@pytest.mark.parametrize("wname,kind", [
+    ("db2", "filter"), ("db4", "filter"),
+    ("cdf97", "lifting"), ("db2", "lifting"),
+])
+def test_pallas_1d_batched(wname, kind):
+    from wavelets_tpu.ops.pallas import dwt1d as D1
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    rng = np.random.default_rng(75)
+    x = rng.standard_normal((16, 1024)).astype(np.float32)
+    assert D1.pallas_ok(x.shape, wt, 1, np.float32)
+    ref = np.asarray(w.dwt(x.astype(np.float64), wt, 6, ndt=1))
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(D1.dwt1d_pallas(jnp.asarray(x), wt, 6))
+        xr = np.asarray(D1.idwt1d_pallas(jnp.asarray(y), wt, 6))
+    assert np.abs(y - ref).max() < 1e-4
+    assert np.abs(xr - x).max() < 1e-4
+
+
+@pytest.mark.parametrize("wname,kind", [("db2", "filter"),
+                                        ("cdf97", "lifting")])
+def test_pallas_3d(wname, kind):
+    from wavelets_tpu.ops.pallas import dwt3d as D3
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    rng = np.random.default_rng(76)
+    x = rng.standard_normal((32, 64, 512)).astype(np.float32)
+    assert D3.pallas_ok(x.shape, wt, 1, np.float32)
+    ref = np.asarray(w.dwt(x.astype(np.float64), wt, 2))
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(D3.dwt3_pallas(jnp.asarray(x), wt, 2))
+        xr = np.asarray(D3.idwt3_pallas(jnp.asarray(y), wt, 2))
+    assert np.abs(y - ref).max() < 1e-4
+    assert np.abs(xr - x).max() < 1e-4
+
+
 def test_pallas_ok_gating():
     scheme = w.wt.wavelet(w.wt.cdf97, "lifting")
     assert not P.pallas_ok((100, 512), scheme, 1, np.float32)  # m % 16

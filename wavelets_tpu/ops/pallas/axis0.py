@@ -1,0 +1,208 @@
+"""Generic axis-0 (sublane-direction) one-level kernels, engine-agnostic.
+
+Transform the leading axis of an (R, C) array one DWT level, periodic
+boundary, producing the packed result WITHOUT an assembly pass: the output
+is shaped (2, R/2, C) — component 0 the scaling band, component 1 the
+detail band — which reshapes to the packed (R, C) layout for free
+(row-major).  The inverse consumes the packed halves through halo'd block
+specs and re-interleaves rows in-kernel (sublane stack-reshape).
+
+Used by the 3-D driver (axis 0 directly, middle axis via vmap) and by the
+batched column transforms generally.  Ring-wrapped halo index maps give the
+periodic boundary at block granularity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...wt.carriers import OrthoFilter, GLS
+from ...wt.schemes import PREDICT
+from ..filter_fb import filter_pair
+from .common import roll, roundup, pick_col_tm
+
+__all__ = ["axis0_level_fw", "axis0_level_inv", "axis0_ok"]
+
+
+def _reach(wt) -> int:
+    if isinstance(wt, GLS):
+        r = 0
+        for st in wt.steps:
+            offs = [k - st.shift for k in range(len(st.coef))]
+            r += max(abs(o) for o in offs) if offs else 0
+        return max(r, 1)
+    return len(wt.qmf)
+
+
+def _halo_of(wt) -> int:
+    return roundup(max(2 * _reach(wt), 2), 8)
+
+
+def _steps_halves(s, d, scheme: GLS, fw: bool):
+    steps = scheme.steps if fw else scheme.steps[::-1]
+    sign = -1.0 if fw else 1.0
+    for st in steps:
+        src = d if st.kind == PREDICT else s
+        acc = None
+        for k, c in enumerate(st.coef):
+            t = roll(src, st.shift - k, 0)
+            t = jnp.asarray(sign * c, src.dtype) * t
+            acc = t if acc is None else acc + t
+        if st.kind == PREDICT:
+            s = s + acc
+        else:
+            d = d + acc
+    return s, d
+
+
+def _fw_kernel(top_ref, mid_ref, bot_ref, o_ref, *, wt, halo):
+    ext = jnp.concatenate([top_ref[:], mid_ref[:], bot_ref[:]], axis=0)
+    rows, tn = ext.shape
+    r = ext.reshape(rows // 2, 2, tn)
+    e0, e1 = r[:, 0, :], r[:, 1, :]
+    dt = ext.dtype
+    if isinstance(wt, GLS):
+        a, d = _steps_halves(e0, e1, wt, fw=True)
+        a = a * jnp.asarray(wt.norm1, dt)
+        d = d * jnp.asarray(wt.norm2, dt)
+    else:
+        h, g = filter_pair(wt)
+        a = None
+        d = None
+        for m_ in range(len(h)):
+            src_a = e0 if m_ % 2 == 0 else e1
+            ta = jnp.asarray(h[m_], dt) * roll(src_a, -(m_ // 2), 0)
+            if m_ % 2 == 0:
+                td = jnp.asarray(g[m_], dt) * roll(e1, m_ // 2, 0)
+            else:
+                td = jnp.asarray(g[m_], dt) * roll(e0, (m_ - 1) // 2, 0)
+            a = ta if a is None else a + ta
+            d = td if d is None else d + td
+    hh = halo // 2
+    q = a.shape[0] - halo
+    o_ref[0] = a[hh: hh + q]
+    o_ref[1] = d[hh: hh + q]
+
+
+def _inv_kernel(at_ref, ac_ref, ab_ref, dt_ref, dc_ref, db_ref, o_ref,
+                *, wt, halo, tm):
+    a = jnp.concatenate([at_ref[0], ac_ref[0], ab_ref[0]], axis=0)
+    d = jnp.concatenate([dt_ref[0], dc_ref[0], db_ref[0]], axis=0)
+    dt = a.dtype
+    if isinstance(wt, GLS):
+        a = a * jnp.asarray(1.0 / wt.norm1, dt)
+        d = d * jnp.asarray(1.0 / wt.norm2, dt)
+        a, d = _steps_halves(a, d, wt, fw=False)
+        x0, x1 = a, d
+    else:
+        h, g = filter_pair(wt)
+        x0 = None
+        x1 = None
+        for m_ in range(len(h)):
+            if m_ % 2 == 0:
+                t0 = jnp.asarray(h[m_], dt) * roll(a, m_ // 2, 0)
+                t1 = jnp.asarray(g[m_], dt) * roll(d, -(m_ // 2), 0)
+            else:
+                t1 = jnp.asarray(h[m_], dt) * roll(a, (m_ - 1) // 2, 0)
+                t0 = jnp.asarray(g[m_], dt) * roll(d, -((m_ - 1) // 2), 0)
+            x0 = t0 if x0 is None else x0 + t0
+            x1 = t1 if x1 is None else x1 + t1
+    x0 = x0[halo: halo + tm]
+    x1 = x1[halo: halo + tm]
+    o_ref[:] = jnp.stack([x0, x1], axis=1).reshape(2 * tm, x0.shape[-1])
+
+
+def _pick_tn(C: int) -> int | None:
+    for tn in (512, 256, 128):
+        if C % tn == 0:
+            return tn
+    return C if C in (512, 256, 128) else None
+
+
+def _budget_cap(wt, tn: int, itemsize: int) -> int:
+    taps = len(wt.qmf) if isinstance(wt, OrthoFilter) else 8
+    budget_elems = (14 << 20) // itemsize // (taps + 8)
+    cap = 8
+    while cap * 2 * tn <= budget_elems and cap < 1024:
+        cap *= 2
+    return cap
+
+
+def axis0_ok(R: int, C: int, wt, dtype) -> bool:
+    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+        return False
+    halo = _halo_of(wt)
+    tn = _pick_tn(C)
+    if tn is None or R % 16 or 2 * halo >= R:
+        return False
+    cap = _budget_cap(wt, tn, np.dtype(dtype).itemsize)
+    return pick_col_tm(R, halo, cap=max(cap, 2 * halo)) is not None and \
+        pick_col_tm(R // 2, halo, cap=max(min(cap, 512), 2 * halo)) is not None
+
+
+def _halo_specs3(tm: int, halo: int, nblocks_h: int, tn: int, comp: int):
+    """Specs over a (2, R/2, C) packed array, component ``comp``."""
+    step = tm // halo
+    return [
+        pl.BlockSpec((1, halo, tn),
+                     lambda i, j: (comp, (i * step - 1) % nblocks_h, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tm, tn), lambda i, j: (comp, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, halo, tn),
+                     lambda i, j: (comp, ((i + 1) * step) % nblocks_h, j),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def axis0_level_fw(x, wt):
+    """(R, C) -> (R, C) packed along axis 0 ([a | d])."""
+    R, C = x.shape
+    halo = _halo_of(wt)
+    tn = _pick_tn(C)
+    cap = _budget_cap(wt, tn, np.dtype(x.dtype).itemsize)
+    tm = pick_col_tm(R, halo, cap=max(cap, 2 * halo))
+    step = tm // halo
+    nb = R // halo
+    out = pl.pallas_call(
+        partial(_fw_kernel, wt=wt, halo=halo),
+        grid=(R // tm, C // tn),
+        in_specs=[
+            pl.BlockSpec((halo, tn), lambda i, j: ((i * step - 1) % nb, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((halo, tn), lambda i, j: (((i + 1) * step) % nb, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, tm // 2, tn), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, R // 2, C), x.dtype),
+    )(x, x, x)
+    return out.reshape(R, C)
+
+
+def axis0_level_inv(y, wt):
+    """Inverse of axis0_level_fw on the packed (R, C) array."""
+    R, C = y.shape
+    halo = _halo_of(wt)
+    tn = _pick_tn(C)
+    cap = _budget_cap(wt, tn, np.dtype(y.dtype).itemsize)
+    tm = pick_col_tm(R // 2, halo, cap=max(min(cap, 512), 2 * halo))
+    packed = y.reshape(2, R // 2, C)
+    nb = (R // 2) // halo
+    return pl.pallas_call(
+        partial(_inv_kernel, wt=wt, halo=halo, tm=tm),
+        grid=((R // 2) // tm, C // tn),
+        in_specs=_halo_specs3(tm, halo, nb, tn, 0)
+        + _halo_specs3(tm, halo, nb, tn, 1),
+        out_specs=pl.BlockSpec((2 * tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, C), y.dtype),
+    )(packed, packed, packed, packed, packed, packed)

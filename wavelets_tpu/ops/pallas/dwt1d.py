@@ -1,0 +1,260 @@
+"""Pallas kernels for batched 1-D transforms.
+
+A level of a batched 1-D DWT over (B, n) signals is two fused kernels:
+
+1. step kernel — the interleaved lifting/correlation chain along lanes
+   (full periodic rows in VMEM, identical math to the 2-D row kernels);
+2. split kernel — a block-local lane butterfly that writes the scaling and
+   detail bands as two separate arrays (block-local unshuffles compose to
+   the global deinterleave because blocks tile the row in order).
+
+Levels recurse on the scaling band; the packed layout is one concatenation
+at the end.  A full-width butterfly inside the step kernel is avoided on
+purpose: log2(n) stages over 2^20 lanes explode Mosaic's compile/VMEM
+budget, while the block-local version is bounded by log2(TN).
+
+Reference analogue: the batched line kernels of the GPU extension
+(ext/WaveletsGPUExt, LineBases batching) — the batch dim is the sublane
+grid here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...wt.carriers import OrthoFilter, GLS
+from ...wt.schemes import PREDICT
+from ..filter_fb import filter_pair
+from .common import roll, deint_lanes, int_lanes
+
+__all__ = ["dwt1d_pallas", "idwt1d_pallas", "pallas_ok"]
+
+
+def _taps_count(wt) -> int:
+    return len(wt.qmf) if isinstance(wt, OrthoFilter) else \
+        sum(len(st.coef) for st in wt.steps)
+
+
+def _pick_tm(b: int, n: int, wt, itemsize: int) -> int | None:
+    """Row tile budgeted by the kernel's live-temp footprint."""
+    live = 2 * _taps_count(wt) + 10
+    budget_elems = (12 << 20) // itemsize // live
+    tm = 512
+    while tm > 8 and (tm * n > budget_elems or b % tm):
+        tm //= 2
+    return tm if (b % tm == 0 and tm * n <= budget_elems) else None
+
+
+def _lift_interleaved(v, scheme: GLS, fw: bool):
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    even = (lane % 2) == 0
+    steps = scheme.steps if fw else scheme.steps[::-1]
+    sign = -1.0 if fw else 1.0
+    for st in steps:
+        pred = st.kind == PREDICT
+        acc = None
+        for k, c in enumerate(st.coef):
+            off = 2 * (k - st.shift) + (1 if pred else -1)
+            t = roll(v, -off, v.ndim - 1)
+            t = jnp.asarray(sign * c, v.dtype) * t
+            acc = t if acc is None else acc + t
+        mask = even if pred else jnp.logical_not(even)
+        v = jnp.where(mask, v + acc, v)
+    return v, even
+
+
+def _step_fw_kernel(x_ref, o_ref, *, wt):
+    v = x_ref[:]
+    dt = v.dtype
+    if isinstance(wt, GLS):
+        v, even = _lift_interleaved(v, wt, fw=True)
+        o_ref[:] = v * jnp.where(even, jnp.asarray(wt.norm1, dt),
+                                 jnp.asarray(wt.norm2, dt))
+        return
+    h, g = filter_pair(wt)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    even = (lane % 2) == 0
+    za = None
+    zd = None
+    for m_ in range(len(h)):
+        ta = jnp.asarray(h[m_], dt) * roll(v, -m_, v.ndim - 1)
+        td = jnp.asarray(g[m_], dt) * roll(v, m_, v.ndim - 1)
+        za = ta if za is None else za + ta
+        zd = td if zd is None else zd + td
+    o_ref[:] = jnp.where(even, za, zd)
+
+
+def _step_inv_kernel(z_ref, o_ref, *, wt):
+    z = z_ref[:]
+    dt = z.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, z.ndim - 1)
+    even = (lane % 2) == 0
+    if isinstance(wt, GLS):
+        z = z * jnp.where(even, jnp.asarray(1.0 / wt.norm1, dt),
+                          jnp.asarray(1.0 / wt.norm2, dt))
+        z, _ = _lift_interleaved(z, wt, fw=False)
+        o_ref[:] = z
+        return
+    h, g = filter_pair(wt)
+    u = jnp.where(even, z, 0)
+    w_ = jnp.where(even, roll(z, -1, z.ndim - 1), 0)
+    x = None
+    for m_ in range(len(h)):
+        ts = jnp.asarray(h[m_], dt) * roll(u, m_, z.ndim - 1)
+        td = jnp.asarray(g[m_], dt) * roll(w_, 1 - m_, z.ndim - 1)
+        t = ts + td
+        x = t if x is None else x + t
+    o_ref[:] = x
+
+
+def _steps(x, wt, fw: bool):
+    b, n = x.shape
+    tm = _pick_tm(b, n, wt, np.dtype(x.dtype).itemsize)
+    kern = partial(_step_fw_kernel if fw else _step_inv_kernel, wt=wt)
+    return pl.pallas_call(
+        kern,
+        grid=(b // tm,),
+        in_specs=[pl.BlockSpec((tm, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tm, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), x.dtype),
+    )(x)
+
+
+# --- block-local lane split/merge kernels -----------------------------------
+
+def _split_kernel(z_ref, s_ref, d_ref):
+    u = deint_lanes(z_ref[:])
+    half = u.shape[-1] // 2
+    s_ref[:] = u[:, :half]
+    d_ref[:] = u[:, half:]
+
+
+def _merge_kernel(s_ref, d_ref, z_ref):
+    z_ref[:] = int_lanes(jnp.concatenate([s_ref[:], d_ref[:]], axis=-1))
+
+
+def _split_tiles(b: int, n: int):
+    tn = 512 if n % 512 == 0 else 256
+    tm = 256
+    while tm > 8 and b % tm:
+        tm //= 2
+    return tm, tn
+
+
+def _split(z):
+    b, n = z.shape
+    tm, tn = _split_tiles(b, n)
+    half_spec = pl.BlockSpec((tm, tn // 2), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _split_kernel,
+        grid=(b // tm, n // tn),
+        in_specs=[pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(half_spec, half_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, n // 2), z.dtype),
+                   jax.ShapeDtypeStruct((b, n // 2), z.dtype)),
+    )(z)
+
+
+def _merge(s, d):
+    b, half = s.shape
+    n = 2 * half
+    tm, tn = _split_tiles(b, n)
+    half_spec = pl.BlockSpec((tm, tn // 2), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _merge_kernel,
+        grid=(b // tm, n // tn),
+        in_specs=[half_spec, half_spec],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), s.dtype),
+    )(s, d)
+
+
+def _level_ok(b: int, n: int, wt, dtype) -> bool:
+    if n % 512 or b % 8:
+        return False
+    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+        return False
+    if _pick_tm(b, n, wt, np.dtype(dtype).itemsize) is None:
+        return False
+    if isinstance(wt, OrthoFilter) and 2 * len(wt.qmf) > n:
+        return False
+    return True
+
+
+def pallas_ok(shape, wt, L: int, dtype) -> bool:
+    """Batched-1-D eligibility: (B, n) with the first level's width OK."""
+    if len(shape) != 2 or L < 1:
+        return False
+    b, n = shape
+    return _level_ok(b, n, wt, dtype)
+
+
+def _level(x, wt, fw: bool):
+    """One packed level: steps + split (fw) / merge + steps (inv)."""
+    if fw:
+        s, d = _split(_steps(x, wt, True))
+        return jnp.concatenate([s, d], axis=-1)
+    half = x.shape[-1] // 2
+    return _steps(_merge(x[:, :half], x[:, half:]), wt, False)
+
+
+def dwt1d_pallas(x, wt, L: int):
+    """(B, n) batched multi-level 1-D DWT, packed layout per row."""
+    if L == 0:
+        return x
+    b, n = x.shape
+    s = x
+    details = []
+    for l in range(L):
+        ns = n >> l
+        if _level_ok(b, ns, wt, x.dtype):
+            sd, d = _split(_steps(s, wt, True))
+        else:  # tiny tail level: jnp fallback
+            z = _level_jnp(s, wt, fw=True)
+            sd, d = z[:, : ns // 2], z[:, ns // 2:]
+        s = sd
+        details.append(d)
+    return jnp.concatenate([s] + details[::-1], axis=-1)
+
+
+def idwt1d_pallas(y, wt, L: int):
+    if L == 0:
+        return y
+    b, n = y.shape
+    s = y[:, : n >> L]
+    for l in range(L, 0, -1):
+        ns = n >> (l - 1)
+        d = y[:, ns // 2: ns]
+        if _level_ok(b, ns, wt, y.dtype):
+            s = _steps(_merge(s, d), wt, False)
+        else:
+            z = jnp.concatenate([s, d], axis=-1)
+            s = _level_jnp(z, wt, fw=False)
+    return s
+
+
+def _level_jnp(z, wt, fw: bool):
+    from .. import filter_fb as F, lifting as Lf
+    half = z.shape[-1] // 2
+    if isinstance(wt, GLS):
+        if fw:
+            s, d = Lf.lifting_level_fw(z, wt)
+            return jnp.concatenate([s, d], axis=-1)
+        return Lf.lifting_level_inv(z[..., :half], z[..., half:], wt)
+    h, g = filter_pair(wt)
+    if fw:
+        a, d = F.dwt_level(z, h, g)
+        return jnp.concatenate([a, d], axis=-1)
+    return F.idwt_level(z[..., :half], z[..., half:], h, g)

@@ -80,6 +80,29 @@ def _use_pallas(x, wt, L) -> bool:
     return pallas_ok(x.shape, wt, L, x.dtype)
 
 
+def _pallas_enabled() -> bool:
+    import os
+    flag = os.environ.get("WAVELETS_TPU_PALLAS")
+    if flag == "0":
+        return False
+    on_tpu = jax.devices()[0].platform.lower() not in ("cpu", "gpu", "rocm")
+    return flag == "1" or on_tpu
+
+
+def _use_pallas_1d(x, wt, L) -> bool:
+    if not _pallas_enabled() or x.ndim != 2:
+        return False
+    from .ops.pallas.dwt1d import pallas_ok
+    return pallas_ok(x.shape, wt, L, x.dtype)
+
+
+def _use_pallas_3d(x, wt, L) -> bool:
+    if not _pallas_enabled():
+        return False
+    from .ops.pallas.dwt3d import pallas_ok
+    return pallas_ok(x.shape, wt, L, x.dtype)
+
+
 @partial(jax.jit, static_argnames=("wt", "L", "ndt", "fw"))
 def _dwt_jit(x, wt, L, ndt, fw):
     if ndt == 2 and _use_pallas(x, wt, L):
@@ -88,6 +111,12 @@ def _dwt_jit(x, wt, L, ndt, fw):
             return dwt2_lifting(x, wt, L) if fw else idwt2_lifting(x, wt, L)
         from .ops.pallas.filter2d import dwt2_filter, idwt2_filter
         return dwt2_filter(x, wt, L) if fw else idwt2_filter(x, wt, L)
+    if ndt == 1 and _use_pallas_1d(x, wt, L):
+        from .ops.pallas.dwt1d import dwt1d_pallas, idwt1d_pallas
+        return dwt1d_pallas(x, wt, L) if fw else idwt1d_pallas(x, wt, L)
+    if ndt == 3 and x.ndim == 3 and _use_pallas_3d(x, wt, L):
+        from .ops.pallas.dwt3d import dwt3_pallas, idwt3_pallas
+        return dwt3_pallas(x, wt, L) if fw else idwt3_pallas(x, wt, L)
     if isinstance(wt, OrthoFilter):
         h, g = filter_fb.filter_pair(wt)
         if ndt == 1:
