@@ -118,6 +118,20 @@ def test_pallas_3d(wname, kind):
     assert np.abs(xr - x).max() < 1e-4
 
 
+def test_pallas_modwt():
+    from wavelets_tpu.ops.pallas import modwt1d as M
+    wt = w.wt.wavelet(w.wt.db4)
+    rng = np.random.default_rng(77)
+    x = rng.standard_normal((16, 512)).astype(np.float32)
+    assert M.pallas_ok(x.shape, wt, np.float32)
+    ref = np.asarray(w.modwt(x.astype(np.float64), wt, 6))
+    with pltpu.force_tpu_interpret_mode():
+        W = np.asarray(M.modwt_pallas(jnp.asarray(x), wt, 6))
+        xr = np.asarray(M.imodwt_pallas(jnp.asarray(W), wt))
+    assert np.abs(W - ref).max() < 1e-4
+    assert np.abs(xr - x).max() < 1e-4
+
+
 def test_pallas_ok_gating():
     scheme = w.wt.wavelet(w.wt.cdf97, "lifting")
     assert not P.pallas_ok((100, 512), scheme, 1, np.float32)  # m % 16

@@ -71,13 +71,13 @@ def _use_pallas(x, wt, L) -> bool:
     on_tpu = jax.devices()[0].platform.lower() not in ("cpu", "gpu", "rocm")
     if flag != "1" and not on_tpu:
         return False
-    if x.ndim != 2:
+    if x.ndim < 2:
         return False
     if isinstance(wt, GLS):
         from .ops.pallas.lifting2d import pallas_ok
-        return pallas_ok(x.shape, wt, L, x.dtype)
+        return pallas_ok(x.shape[-2:], wt, L, x.dtype)
     from .ops.pallas.filter2d import pallas_ok
-    return pallas_ok(x.shape, wt, L, x.dtype)
+    return pallas_ok(x.shape[-2:], wt, L, x.dtype)
 
 
 def _pallas_enabled() -> bool:
@@ -105,12 +105,19 @@ def _use_pallas_3d(x, wt, L) -> bool:
 
 @partial(jax.jit, static_argnames=("wt", "L", "ndt", "fw"))
 def _dwt_jit(x, wt, L, ndt, fw):
-    if ndt == 2 and _use_pallas(x, wt, L):
+    if ndt == 2 and x.ndim >= 2 and _use_pallas(x, wt, L):
         if isinstance(wt, GLS):
             from .ops.pallas.lifting2d import dwt2_lifting, idwt2_lifting
-            return dwt2_lifting(x, wt, L) if fw else idwt2_lifting(x, wt, L)
-        from .ops.pallas.filter2d import dwt2_filter, idwt2_filter
-        return dwt2_filter(x, wt, L) if fw else idwt2_filter(x, wt, L)
+            fn = dwt2_lifting if fw else idwt2_lifting
+        else:
+            from .ops.pallas.filter2d import dwt2_filter, idwt2_filter
+            fn = dwt2_filter if fw else idwt2_filter
+        if x.ndim == 2:
+            return fn(x, wt, L)
+        # batched images: vmap the 2-D kernels over the leading axes
+        flat = x.reshape((-1,) + x.shape[-2:])
+        out = jax.vmap(lambda v: fn(v, wt, L))(flat)
+        return out.reshape(x.shape)
     if ndt == 1 and _use_pallas_1d(x, wt, L):
         from .ops.pallas.dwt1d import dwt1d_pallas, idwt1d_pallas
         return dwt1d_pallas(x, wt, L) if fw else idwt1d_pallas(x, wt, L)
@@ -193,13 +200,31 @@ def iwpt(y, wt: DiscreteWavelet, tree=None, L: int | None = None):
 
 # --- MODWT ------------------------------------------------------------------
 
+# MODWT stays on the XLA roll formulation: measured on v5e the fused
+# Pallas variant (ops/pallas/modwt1d.py) is slightly slower (4.0 vs 3.6 ms
+# at (512, 8192) L6) — XLA already fuses the roll chain well.  Set
+# WAVELETS_TPU_PALLAS_MODWT=1 to opt in.
+def _modwt_use_pallas(shape, wt, dtype) -> bool:
+    import os
+    if os.environ.get("WAVELETS_TPU_PALLAS_MODWT") != "1":
+        return False
+    from .ops.pallas.modwt1d import pallas_ok
+    return _pallas_enabled() and pallas_ok(shape, wt, dtype)
+
+
 @partial(jax.jit, static_argnames=("wt", "L"))
 def _modwt_jit(x, wt, L):
+    if x.ndim == 2 and _modwt_use_pallas(x.shape, wt, x.dtype):
+        from .ops.pallas.modwt1d import modwt_pallas
+        return modwt_pallas(x, wt, L)
     return modwt_ops.modwt(x, wt, L)
 
 
 @partial(jax.jit, static_argnames=("wt",))
 def _imodwt_jit(xw, wt):
+    if xw.ndim == 3 and _modwt_use_pallas(xw.shape[:2], wt, xw.dtype):
+        from .ops.pallas.modwt1d import imodwt_pallas
+        return imodwt_pallas(xw, wt)
     return modwt_ops.imodwt(xw, wt)
 
 
