@@ -331,6 +331,15 @@ def _level2_jnp(active, scheme: GLS, fw: bool):
 def _level_fw_quads(active, scheme: GLS):
     """One forward level: active -> (ll, lh, hl, hh)."""
     m, n = active.shape
+    # A single-pass fused kernel exists (fused2d.py) but measures ~30%
+    # SLOWER on v5e despite halving HBM traffic: the two-kernel pipeline is
+    # bandwidth-bound with its VPU work hidden under DMA, while the fused
+    # kernel is roll/select-bound.  Opt in to experiment:
+    import os
+    if os.environ.get("WAVELETS_TPU_FUSED2D") == "1":
+        from .fused2d import fused_ok, fused_level_fw_quads
+        if fused_ok(m, n, scheme, active.dtype):
+            return fused_level_fw_quads(active, scheme)
     plan = _plan_level(m, n, scheme, active.dtype)
     if plan is None:
         out = _level2_jnp(active, scheme, fw=True)
