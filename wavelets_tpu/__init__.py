@@ -33,6 +33,7 @@ from .wt import (
     DiscreteWavelet, FilterWavelet, LSWavelet, OrthoFilter, GLS, wavelet,
 )
 from .transforms import dwt, idwt, wpt, iwpt, modwt, imodwt, dwtc, idwtc
+from .subbands import dwt_subbands, idwt_subbands, to_packed, from_packed
 from .threshold import (
     threshold, HardTH, SoftTH, SemiSoftTH, SteinTH, BiggestTH, PosTH, NegTH,
     VisuShrink, denoise, noisest,
@@ -46,6 +47,7 @@ __version__ = "0.1.0"
 __all__ = [
     "wt", "utils",
     "dwt", "idwt", "wpt", "iwpt", "modwt", "imodwt", "dwtc", "idwtc",
+    "dwt_subbands", "idwt_subbands", "to_packed", "from_packed",
     "DiscreteWavelet", "FilterWavelet", "LSWavelet", "OrthoFilter", "GLS",
     "wavelet",
     "detailindex", "detailrange", "detailn",

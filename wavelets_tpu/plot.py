@@ -64,7 +64,9 @@ def _scale01(z):
 
 
 def _wplotim_nd(x, L: int, wt=None, *, wabs=True, power=0.7, pnorm=1):
-    x = np.asarray(x, dtype=np.float64)
+    x = np.asarray(x)
+    if not np.issubdtype(x.dtype, np.floating):
+        x = x.astype(np.float64)
     if x.ndim not in (2, 3):
         raise ValueError(f"dimension {x.ndim} not supported")
     # dyadic check on the spatial dims only (the reference checks every dim,
