@@ -23,7 +23,27 @@ from . import filter_fb, lifting
 __all__ = ["wpt", "iwpt"]
 
 
+def _pallas_level(x, wt, fw: bool):
+    """Route the batched segment level through the fused 1-D kernels when
+    on TPU and the shapes tile (the analogue of the GPU extension's batched
+    WPT launches, ext/WaveletsGPUExt/filter_transforms_gpu.jl:337-381)."""
+    from ..transforms import _pallas_enabled
+    if not _pallas_enabled() or x.ndim < 2:
+        return None
+    from .pallas import dwt1d as D1
+    b = int(np.prod(x.shape[:-1]))
+    n = x.shape[-1]
+    if not D1._level_ok(b, n, wt, x.dtype):
+        return None
+    flat = x.reshape(b, n)
+    out = D1._level(flat, wt, fw)
+    return out.reshape(x.shape)
+
+
 def _level_fw(x, wt):
+    routed = _pallas_level(x, wt, True)
+    if routed is not None:
+        return routed
     if isinstance(wt, OrthoFilter):
         h, g = filter_fb.filter_pair(wt)
         a, d = filter_fb.dwt_level(x, h, g)
@@ -33,6 +53,9 @@ def _level_fw(x, wt):
 
 
 def _level_inv(x, wt):
+    routed = _pallas_level(x, wt, False)
+    if routed is not None:
+        return routed
     half = x.shape[-1] // 2
     if isinstance(wt, OrthoFilter):
         h, g = filter_fb.filter_pair(wt)
