@@ -15,7 +15,19 @@ BASELINE_GSPS = 1024 * 1024 * 10 / 0.317705928 / 1e9  # ≈ 0.033
 
 
 def main():
+    import os
     import jax
+
+    # persistent compile cache: TPU compiles go through a slow remote
+    # helper here (~10-60 s each); caching makes reruns near-instant
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/wavelets_tpu_jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:
+        pass
+
     import wavelets_tpu as w
     from wavelets_tpu.transforms import _dwt_jit
 
