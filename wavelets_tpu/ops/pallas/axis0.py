@@ -135,7 +135,9 @@ def _budget_cap(wt, tn: int, itemsize: int) -> int:
 
 
 def axis0_ok(R: int, C: int, wt, dtype) -> bool:
-    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+    # this Mosaic lacks non-32-bit lane rotates ('Rotate with non-32-bit
+    # data'), so bfloat16 is excluded until the rolls get a 32-bit cast path
+    if np.dtype(dtype) != np.dtype(np.float32):
         return False
     halo = _halo_of(wt)
     tn = _pick_tn(C)

@@ -76,7 +76,9 @@ def _plan_level(m: int, n: int, flen: int, dtype):
 def pallas_ok(shape, wt: OrthoFilter, L: int, dtype) -> bool:
     if len(shape) != 2 or L < 1:
         return False
-    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+    # this Mosaic lacks non-32-bit lane rotates ('Rotate with non-32-bit
+    # data'), so bfloat16 is excluded until the rolls get a 32-bit cast path
+    if np.dtype(dtype) != np.dtype(np.float32):
         return False
     m, n = shape
     return _plan_level(m, n, len(wt.qmf), dtype) is not None

@@ -183,7 +183,9 @@ def pallas_ok(shape, scheme: GLS, L: int, dtype) -> bool:
     tail levels fall back to the jnp path per level)."""
     if len(shape) != 2 or L < 1:
         return False
-    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+    # this Mosaic lacks non-32-bit lane rotates ('Rotate with non-32-bit
+    # data'), so bfloat16 is excluded until the rolls get a 32-bit cast path
+    if np.dtype(dtype) != np.dtype(np.float32):
         return False
     m, n = shape
     return _plan_level(m, n, scheme, dtype) is not None

@@ -65,7 +65,9 @@ def _pick_tm(b: int, n: int, flen: int, itemsize: int) -> int | None:
 def pallas_ok(shape, wt: OrthoFilter, dtype) -> bool:
     if len(shape) != 2:
         return False
-    if np.dtype(dtype) not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+    # this Mosaic lacks non-32-bit lane rotates ('Rotate with non-32-bit
+    # data'), so bfloat16 is excluded until the rolls get a 32-bit cast path
+    if np.dtype(dtype) != np.dtype(np.float32):
         return False
     b, n = shape
     if n % 128 or b % 8:
