@@ -58,51 +58,8 @@ def scheme_reach(scheme: GLS) -> int:
     return max(reach, 1)
 
 
-def _roundup(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-def _roll(v, sh: int, axis: int):
-    if sh % v.shape[axis] == 0:
-        return v
-    if axis == v.ndim - 1:
-        return pltpu.roll(v, sh % v.shape[axis], axis=axis)
-    return jnp.roll(v, sh, axis=axis)
-
-
-# --- lane butterflies -------------------------------------------------------
-
-def _quarter_swap(v, B: int, lane):
-    """Swap the 2nd and 3rd quarters of every B-lane block."""
-    q = B // 4
-    pos = lane % B
-    second = (pos >= q) & (pos < 2 * q)
-    third = (pos >= 2 * q) & (pos < 3 * q)
-    fwd = _roll(v, -q, v.ndim - 1)
-    bwd = _roll(v, q, v.ndim - 1)
-    return jnp.where(second, fwd, jnp.where(third, bwd, v))
-
-
-def _deint_lanes(v):
-    """Perfect lane unshuffle [s0 d0 s1 d1 ...] -> [s... | d...]."""
-    W = v.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
-    B = 4
-    while B <= W:
-        v = _quarter_swap(v, B, lane)
-        B *= 2
-    return v
-
-
-def _int_lanes(v):
-    """Perfect lane shuffle [s... | d...] -> [s0 d0 s1 d1 ...]."""
-    W = v.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
-    B = W
-    while B >= 4:
-        v = _quarter_swap(v, B, lane)
-        B //= 2
-    return v
+from .common import roll as _roll, deint_lanes as _deint_lanes, \
+    int_lanes as _int_lanes, roundup as _roundup
 
 
 # --- step chains ------------------------------------------------------------
