@@ -29,9 +29,6 @@ like the reference GPU extension's per-level launches
 
 from __future__ import annotations
 
-import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

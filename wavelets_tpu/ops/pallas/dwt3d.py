@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...wt.carriers import GLS
 from . import dwt1d, axis0
 
 __all__ = ["dwt3_pallas", "idwt3_pallas", "pallas_ok"]

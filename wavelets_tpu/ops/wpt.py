@@ -17,7 +17,7 @@ import numpy as np
 
 from ..utils.indexing import maxtransformlevels
 from ..utils.trees import isvalidtree, treedepth
-from ..wt.carriers import OrthoFilter, GLS
+from ..wt.carriers import OrthoFilter
 from . import filter_fb, lifting
 
 __all__ = ["wpt", "iwpt"]

@@ -36,7 +36,7 @@ except ImportError:  # pragma: no cover
     from jax.shard_map import shard_map
 
 from ..utils.indexing import maxtransformlevels
-from ..wt.carriers import OrthoFilter, GLS
+from ..wt.carriers import OrthoFilter
 from ..wt.schemes import PREDICT
 from ..ops import filter_fb, lifting
 

@@ -14,7 +14,6 @@ from .utils.indexing import (
     isdyadic, ndyadicscales, dyadicdetailrange, dyadicdetailindex,
     dyadicdetailn,
 )
-from .utils.signals import wcount
 from .transforms import dwt, dwtc
 
 __all__ = ["wplotdots", "wplotim"]

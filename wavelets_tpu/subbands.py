@@ -14,7 +14,6 @@ slicing/concatenation — one fused pass).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .utils.indexing import maxtransformlevels

@@ -11,14 +11,12 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..utils.indexing import maxtransformlevels, iscube, detailrange
-from ..wt.carriers import DiscreteWavelet, OrthoFilter, GLS, wavelet
+from ..wt.carriers import DiscreteWavelet, wavelet
 from ..wt import classes as _classes
 from ..transforms import _dwt_jit, _as_float
 from .ops import THType, HardTH, threshold

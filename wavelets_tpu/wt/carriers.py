@@ -12,14 +12,12 @@ Mirrors the reference surface: OrthoFilter / GLS / wavelet()
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple, Union
+from typing import Tuple
 
 import numpy as np
 
 from ..utils.signals import mirror
-from .classes import (
-    WaveletClass, OrthoWaveletClass, BiOrthoWaveletClass, Daubechies,
-)
+from .classes import WaveletClass, OrthoWaveletClass, Daubechies
 from .daubechies import daubechies
 from .filters import FILTERS
 from .schemes import SCHEMES, LSStep
