@@ -60,6 +60,21 @@ def test_sharded_long_filter(mesh):
     assert np.allclose(np.asarray(ys), ref, atol=1e-11)
 
 
+@pytest.mark.parametrize("wname,kind", [("db4", "filter"),
+                                        ("cdf97", "lifting")])
+def test_sharded_3d(mesh, wname, kind):
+    """3-D volume sharded by planes (BASELINE config 5 structure)."""
+    rng = np.random.default_rng(65)
+    vol = rng.standard_normal((32, 16, 16))
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    ref = np.asarray(w.dwt(vol, wt, 2))
+    vs = jax.device_put(vol)
+    ys = parallel.dwt3(vs, wt, 2, mesh)
+    assert np.allclose(np.asarray(ys), ref, atol=1e-11)
+    xr = parallel.idwt3(ys, wt, 2, mesh)
+    assert np.allclose(np.asarray(xr), vol, atol=1e-11)
+
+
 def test_sharded_denoise_pipeline(mesh):
     """End-to-end: sharded forward -> threshold -> sharded inverse."""
     rng = np.random.default_rng(64)

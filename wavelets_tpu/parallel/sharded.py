@@ -40,7 +40,7 @@ from ..wt.carriers import OrthoFilter
 from ..wt.schemes import PREDICT
 from ..ops import filter_fb, lifting
 
-__all__ = ["make_mesh", "dwt2", "idwt2", "shard_rows"]
+__all__ = ["make_mesh", "dwt2", "idwt2", "dwt3", "idwt3", "shard_rows"]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
@@ -69,12 +69,32 @@ def _ring_from_prev(blk, rows, axis_name, nd):
 
 # --- filter engine: one 2-D level ------------------------------------------
 
+def _local_axes_fw(blk, level_fn):
+    """Transform every non-sharded axis (last to first) with a local
+    periodic one-level transform; axis 0 is the sharded axis."""
+    for axis in range(-1, -blk.ndim, -1):
+        moved = jnp.moveaxis(blk, axis, -1) if axis != -1 else blk
+        out = level_fn(moved)
+        blk = jnp.moveaxis(out, -1, axis) if axis != -1 else out
+    return blk
+
+
+def _local_axes_inv(blk, level_fn):
+    for axis in range(-(blk.ndim - 1), 0):
+        moved = jnp.moveaxis(blk, axis, -1) if axis != -1 else blk
+        out = level_fn(moved)
+        blk = jnp.moveaxis(out, -1, axis) if axis != -1 else out
+    return blk
+
+
 def _filter_level2_fw_body(blk, h, g, axis_name, nd):
-    """blk: (m_loc, n) local rows.  Returns (top, bottom) local chunks of the
-    global row-transformed-then-column-transformed level output."""
-    # rows: fully local, periodic along the last axis
-    a, d = filter_fb.dwt_level(blk, h, g)
-    rowt = jnp.concatenate([a, d], axis=-1)
+    """blk: local chunk (sharded axis first).  Returns (top, bottom) local
+    chunks of the level output (rank-agnostic: 2-D images or 3-D volumes)."""
+    # non-sharded axes: fully local, periodic
+    def lvl(v):
+        a, d = filter_fb.dwt_level(v, h, g)
+        return jnp.concatenate([a, d], axis=-1)
+    rowt = _local_axes_fw(blk, lvl)
 
     # columns: halo-extended, no mod needed — ring wrap IS the periodic wrap
     flen = len(h)
@@ -136,9 +156,11 @@ def _filter_level2_inv_body(a_blk, d_blk, h, g, axis_name, nd):
         col = col + hj[m] * lax.slice_in_dim(ue, m, m + r, 1, axis=0)
         col = col + gj[m] * lax.slice_in_dim(we, m, m + r, 1, axis=0)
 
-    # row inverse: local periodic
-    half = col.shape[-1] // 2
-    return filter_fb.idwt_level(col[..., :half], col[..., half:], h, g)
+    # non-sharded axes inverse: local periodic, first-to-last
+    def lvl(v):
+        half = v.shape[-1] // 2
+        return filter_fb.idwt_level(v[..., :half], v[..., half:], h, g)
+    return _local_axes_inv(col, lvl)
 
 
 # --- lifting engine: one 2-D level -----------------------------------------
@@ -178,9 +200,11 @@ def _lift_steps_axis0(s, d, scheme, fw, axis_name, nd):
 
 
 def _lifting_level2_fw_body(blk, scheme, axis_name, nd):
-    s, d = lifting.lifting_level_fw(blk, scheme)  # rows (local, periodic)
-    rowt = jnp.concatenate([s, d], axis=-1)
-    # columns: even/odd split along sharded axis (local rows even => global
+    def lvl(v):
+        sv, dv = lifting.lifting_level_fw(v, scheme)
+        return jnp.concatenate([sv, dv], axis=-1)
+    rowt = _local_axes_fw(blk, lvl)  # non-sharded axes (local, periodic)
+    # sharded axis: even/odd split along axis 0 (local rows even => global
     # parity alignment holds on every device)
     s0, d0 = rowt[0::2], rowt[1::2]
     s0, d0 = _lift_steps_axis0(s0, d0, scheme, True, axis_name, nd)
@@ -195,8 +219,11 @@ def _lifting_level2_inv_body(a_blk, d_blk, scheme, axis_name, nd):
     s0, d0 = _lift_steps_axis0(s0, d0, scheme, False, axis_name, nd)
     col = jnp.stack([s0, d0], axis=1).reshape(
         s0.shape[0] * 2, *s0.shape[1:])
-    half = col.shape[-1] // 2
-    return lifting.lifting_level_inv(col[..., :half], col[..., half:], scheme)
+
+    def lvl(v):
+        half = v.shape[-1] // 2
+        return lifting.lifting_level_inv(v[..., :half], v[..., half:], scheme)
+    return _local_axes_inv(col, lvl)
 
 
 # --- public drivers ---------------------------------------------------------
@@ -216,42 +243,26 @@ def _halo_rows(wt) -> int:
 
 
 def _level_fw_global(active, wt):
-    """Fallback: plain (periodic) one-level 2-D transform, axes last-to-first."""
+    """Fallback: plain (periodic) one-level transform, axes last-to-first."""
     if isinstance(wt, OrthoFilter):
         h, g = filter_fb.filter_pair(wt)
-        a, d = filter_fb.dwt_level(active, h, g)
-        rowt = jnp.concatenate([a, d], axis=-1)
-        moved = jnp.moveaxis(rowt, 0, -1)
-        a, d = filter_fb.dwt_level(moved, h, g)
-        return jnp.moveaxis(jnp.concatenate([a, d], axis=-1), -1, 0)
-    s, d = lifting.lifting_level_fw(active, wt)
-    rowt = jnp.concatenate([s, d], axis=-1)
-    moved = jnp.moveaxis(rowt, 0, -1)
-    s, d = lifting.lifting_level_fw(moved, wt)
-    return jnp.moveaxis(jnp.concatenate([s, d], axis=-1), -1, 0)
+        return filter_fb.dwt_nd(active, h, g, 1, active.ndim)
+    return lifting.dwt_nd_lifting(active, wt, 1, active.ndim)
 
 
 def _level_inv_global(active, wt):
-    m = active.shape[0]
-    moved = jnp.moveaxis(active, 0, -1)
     if isinstance(wt, OrthoFilter):
         h, g = filter_fb.filter_pair(wt)
-        col = jnp.moveaxis(
-            filter_fb.idwt_level(moved[..., : m // 2], moved[..., m // 2:], h, g),
-            -1, 0)
-        half = col.shape[-1] // 2
-        return filter_fb.idwt_level(col[..., :half], col[..., half:], h, g)
-    col = jnp.moveaxis(
-        lifting.lifting_level_inv(moved[..., : m // 2], moved[..., m // 2:], wt),
-        -1, 0)
-    half = col.shape[-1] // 2
-    return lifting.lifting_level_inv(col[..., :half], col[..., half:], wt)
+        return filter_fb.idwt_nd(active, h, g, 1, active.ndim)
+    return lifting.idwt_nd_lifting(active, wt, 1, active.ndim)
 
 
 @partial(jax.jit, static_argnames=("wt", "L", "mesh", "axis_name", "fw"))
-def _dwt2_sharded_jit(x, wt, L, mesh, axis_name, fw):
+def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw):
+    """N-D sharded multi-level driver: axis 0 sharded over the mesh ring,
+    remaining axes local.  Works for 2-D images and 3-D volumes."""
     nd = mesh.shape[axis_name]
-    m, n = x.shape
+    shape = x.shape
     halo = _halo_rows(wt)
 
     if isinstance(wt, OrthoFilter):
@@ -266,7 +277,7 @@ def _dwt2_sharded_jit(x, wt, L, mesh, axis_name, fw):
         inv_body = partial(_lifting_level2_inv_body, scheme=wt,
                            axis_name=axis_name, nd=nd)
 
-    spec = P(axis_name, None)
+    spec = P(*((axis_name,) + (None,) * (x.ndim - 1)))
     fw_shard = shard_map(fw_body, mesh=mesh, in_specs=(spec,),
                          out_specs=(spec, spec))
     inv_shard = shard_map(inv_body, mesh=mesh, in_specs=(spec, spec),
@@ -275,24 +286,36 @@ def _dwt2_sharded_jit(x, wt, L, mesh, axis_name, fw):
     y = x
     if fw:
         for l in range(L):
-            msub, nsub = m >> l, n >> l
-            active = y[:msub, :nsub]
-            if _can_shard(msub, nd, halo):
+            sub = tuple(s >> l for s in shape)
+            idx = tuple(slice(0, s) for s in sub)
+            active = y[idx]
+            if _can_shard(sub[0], nd, halo):
                 top, bot = fw_shard(active)
                 out = jnp.concatenate([top, bot], axis=0)
             else:
                 out = _level_fw_global(active, wt)
-            y = out if l == 0 else y.at[:msub, :nsub].set(out)
+            y = out if l == 0 else y.at[idx].set(out)
         return y
     for l in range(L, 0, -1):
-        msub, nsub = m >> (l - 1), n >> (l - 1)
-        active = y[:msub, :nsub]
-        if _can_shard(msub, nd, halo):
-            out = inv_shard(active[: msub // 2], active[msub // 2:])
+        sub = tuple(s >> (l - 1) for s in shape)
+        idx = tuple(slice(0, s) for s in sub)
+        active = y[idx]
+        if _can_shard(sub[0], nd, halo):
+            out = inv_shard(active[: sub[0] // 2], active[sub[0] // 2:])
         else:
             out = _level_inv_global(active, wt)
-        y = out if msub == m else y.at[:msub, :nsub].set(out)
+        y = out if sub == shape else y.at[idx].set(out)
     return y
+
+
+def _sharded(x, wt, L, mesh, axis_name, fw, rank):
+    if mesh is None:
+        mesh = make_mesh(axis=axis_name)
+    if L is None:
+        L = maxtransformlevels(x)
+    if x.ndim != rank:
+        raise ValueError(f"expected rank-{rank} input, got shape {x.shape}")
+    return _dwt_sharded_jit(x, wt, int(L), mesh, axis_name, fw)
 
 
 def dwt2(x, wt, L: int | None = None, mesh: Mesh | None = None,
@@ -302,18 +325,24 @@ def dwt2(x, wt, L: int | None = None, mesh: Mesh | None = None,
     ``x`` should be row-sharded over ``mesh``'s ``axis_name`` (see
     :func:`shard_rows`); the result carries the same sharding.
     """
-    if mesh is None:
-        mesh = make_mesh(axis=axis_name)
-    if L is None:
-        L = maxtransformlevels(x)
-    return _dwt2_sharded_jit(x, wt, int(L), mesh, axis_name, True)
+    return _sharded(x, wt, L, mesh, axis_name, True, 2)
 
 
 def idwt2(y, wt, L: int | None = None, mesh: Mesh | None = None,
           axis_name: str = "x"):
     """Inverse of :func:`dwt2`."""
-    if mesh is None:
-        mesh = make_mesh(axis=axis_name)
-    if L is None:
-        L = maxtransformlevels(y)
-    return _dwt2_sharded_jit(y, wt, int(L), mesh, axis_name, False)
+    return _sharded(y, wt, L, mesh, axis_name, False, 2)
+
+
+def dwt3(x, wt, L: int | None = None, mesh: Mesh | None = None,
+         axis_name: str = "x"):
+    """Sharded 3-D forward DWT: leading (plane) axis sharded over the mesh
+    ring with periodic halo exchange; rows/cols local per shard.  The
+    BASELINE "3-D volume sharded across hosts" configuration."""
+    return _sharded(x, wt, L, mesh, axis_name, True, 3)
+
+
+def idwt3(y, wt, L: int | None = None, mesh: Mesh | None = None,
+          axis_name: str = "x"):
+    """Inverse of :func:`dwt3`."""
+    return _sharded(y, wt, L, mesh, axis_name, False, 3)
