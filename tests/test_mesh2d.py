@@ -1,0 +1,44 @@
+"""2-axis mesh sharding: grid-sharded == single-device."""
+
+import numpy as np
+import jax
+import pytest
+
+import wavelets_tpu as w
+from wavelets_tpu.parallel import mesh2d
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return mesh2d.make_mesh2d((4, 2))
+
+
+@pytest.mark.parametrize("wname,kind", [
+    ("haar", "filter"), ("db2", "filter"),
+    ("db2", "lifting"), ("cdf97", "lifting"),
+])
+def test_grid_matches_single(mesh, wname, kind):
+    rng = np.random.default_rng(66)
+    x = rng.standard_normal((64, 32))
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    L = 3
+    ref = np.asarray(w.dwt(x, wt, L))
+    xs = mesh2d.shard_grid(x, mesh)
+    ys = mesh2d.dwt2(xs, wt, L, mesh)
+    assert np.allclose(np.asarray(ys), ref, atol=1e-11), wname
+    xr = mesh2d.idwt2(ys, wt, L, mesh)
+    assert np.allclose(np.asarray(xr), x, atol=1e-11), wname
+
+
+def test_grid_deep_fallback(mesh):
+    rng = np.random.default_rng(67)
+    x = rng.standard_normal((64, 64))
+    wt = w.wt.wavelet(w.wt.db2)
+    L = 6
+    ref = np.asarray(w.dwt(x, wt, L))
+    ys = mesh2d.dwt2(mesh2d.shard_grid(x, mesh), wt, L, mesh)
+    assert np.allclose(np.asarray(ys), ref, atol=1e-11)
+    assert np.allclose(np.asarray(mesh2d.idwt2(ys, wt, L, mesh)), x,
+                       atol=1e-11)

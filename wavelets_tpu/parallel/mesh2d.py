@@ -1,0 +1,156 @@
+"""2-axis mesh sharding: images partitioned P('x', 'y') over a device grid.
+
+The BASELINE collective layout ("2-D images P('x','y')", SURVEY §2.3): both
+image axes are sharded, so *both* directions of each separable level need a
+periodic halo — each is one `lax.ppermute` ring exchange over its mesh
+axis.  The per-axis compute reuses the axis-0 primitives from sharded.py;
+the lane-direction pass runs them on the transposed local block (a local
+swap, no communication).
+
+Per level the forward body emits the four quadrant chunks (each still
+P('x','y')); the driver concatenates them into the packed layout and
+re-shards the shrinking active band, exactly like the 1-axis driver.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.shard_map import shard_map
+
+from ..utils.indexing import maxtransformlevels
+from ..wt.carriers import OrthoFilter
+from ..ops import filter_fb
+from .sharded import (
+    _filter_axis0_fw, _filter_axis0_inv,
+    _lifting_axis0_fw, _lifting_axis0_inv,
+    _level_fw_global, _level_inv_global, _halo_rows, _can_shard,
+)
+
+__all__ = ["make_mesh2d", "shard_grid", "dwt2", "idwt2"]
+
+
+def make_mesh2d(shape: tuple[int, int] | None = None,
+                axes: tuple[str, str] = ("x", "y")) -> Mesh:
+    devs = jax.devices()
+    if shape is None:
+        n = len(devs)
+        a = int(np.sqrt(n))
+        while n % a:
+            a -= 1
+        shape = (a, n // a)
+    ndev = shape[0] * shape[1]
+    return Mesh(np.array(devs[:ndev]).reshape(shape), axes)
+
+
+def shard_grid(x, mesh: Mesh):
+    """Place a 2-D array block-sharded over both mesh axes."""
+    ax, ay = mesh.axis_names
+    return jax.device_put(x, NamedSharding(mesh, P(ax, ay)))
+
+
+def _axis0_fw(rowt, wt, axis_name, nd):
+    if isinstance(wt, OrthoFilter):
+        h, g = filter_fb.filter_pair(wt)
+        return _filter_axis0_fw(rowt, h, g, axis_name, nd)
+    return _lifting_axis0_fw(rowt, wt, axis_name, nd)
+
+
+def _axis0_inv(a, d, wt, axis_name, nd):
+    if isinstance(wt, OrthoFilter):
+        h, g = filter_fb.filter_pair(wt)
+        return _filter_axis0_inv(a, d, h, g, axis_name, nd)
+    return _lifting_axis0_inv(a, d, wt, axis_name, nd)
+
+
+def _fw_body(blk, wt, ax, ay, ndx, ndy):
+    """Local (m_loc, n_loc) block -> four quadrant chunks."""
+    # lane direction first (reference order: rows then columns): run the
+    # axis-0 primitive on the transposed block over the 'y' ring
+    t = jnp.swapaxes(blk, 0, 1)
+    aL, dL = _axis0_fw(t, wt, ay, ndy)
+    left = jnp.swapaxes(aL, 0, 1)    # scaling half of every row
+    right = jnp.swapaxes(dL, 0, 1)   # detail half
+    # row direction over the 'x' ring
+    ll, hl = _axis0_fw(left, wt, ax, ndx)
+    lh, hh = _axis0_fw(right, wt, ax, ndx)
+    return ll, lh, hl, hh
+
+
+def _inv_body(ll, lh, hl, hh, wt, ax, ay, ndx, ndy):
+    left = _axis0_inv(ll, hl, wt, ax, ndx)
+    right = _axis0_inv(lh, hh, wt, ax, ndx)
+    t = _axis0_inv(jnp.swapaxes(left, 0, 1), jnp.swapaxes(right, 0, 1),
+                   wt, ay, ndy)
+    return jnp.swapaxes(t, 0, 1)
+
+
+@partial(jax.jit, static_argnames=("wt", "L", "mesh", "fw"))
+def _dwt2_grid_jit(x, wt, L, mesh, fw):
+    ax, ay = mesh.axis_names
+    ndx, ndy = mesh.shape[ax], mesh.shape[ay]
+    m, n = x.shape
+    halo = _halo_rows(wt)
+
+    spec = P(ax, ay)
+    fw_shard = shard_map(
+        partial(_fw_body, wt=wt, ax=ax, ay=ay, ndx=ndx, ndy=ndy),
+        mesh=mesh, in_specs=(spec,), out_specs=(spec, spec, spec, spec))
+    inv_shard = shard_map(
+        partial(_inv_body, wt=wt, ax=ax, ay=ay, ndx=ndx, ndy=ndy),
+        mesh=mesh, in_specs=(spec,) * 4, out_specs=spec)
+
+    def can(mm, nn):
+        return _can_shard(mm, ndx, halo) and _can_shard(nn, ndy, halo)
+
+    y = x
+    if fw:
+        for l in range(L):
+            mm, nn = m >> l, n >> l
+            active = y[:mm, :nn]
+            if can(mm, nn):
+                ll, lh, hl, hh = fw_shard(active)
+                out = jnp.concatenate([
+                    jnp.concatenate([ll, lh], axis=1),
+                    jnp.concatenate([hl, hh], axis=1)], axis=0)
+            else:
+                out = _level_fw_global(active, wt)
+            y = out if l == 0 else y.at[:mm, :nn].set(out)
+        return y
+    for l in range(L, 0, -1):
+        mm, nn = m >> (l - 1), n >> (l - 1)
+        active = y[:mm, :nn]
+        if can(mm, nn):
+            mh, nh = mm // 2, nn // 2
+            out = inv_shard(active[:mh, :nh], active[:mh, nh:],
+                            active[mh:, :nh], active[mh:, nh:])
+        else:
+            out = _level_inv_global(active, wt)
+        y = out if (mm, nn) == (m, n) else y.at[:mm, :nn].set(out)
+    return y
+
+
+def dwt2(x, wt, L: int | None = None, mesh: Mesh | None = None):
+    """Forward 2-D DWT on a 2-axis device mesh, packed layout."""
+    if mesh is None:
+        mesh = make_mesh2d()
+    if L is None:
+        L = maxtransformlevels(x)
+    return _dwt2_grid_jit(x, wt, int(L), mesh, True)
+
+
+def idwt2(y, wt, L: int | None = None, mesh: Mesh | None = None):
+    """Inverse of :func:`dwt2`."""
+    if mesh is None:
+        mesh = make_mesh2d()
+    if L is None:
+        L = maxtransformlevels(y)
+    return _dwt2_grid_jit(y, wt, int(L), mesh, False)

@@ -87,16 +87,9 @@ def _local_axes_inv(blk, level_fn):
     return blk
 
 
-def _filter_level2_fw_body(blk, h, g, axis_name, nd):
-    """blk: local chunk (sharded axis first).  Returns (top, bottom) local
-    chunks of the level output (rank-agnostic: 2-D images or 3-D volumes)."""
-    # non-sharded axes: fully local, periodic
-    def lvl(v):
-        a, d = filter_fb.dwt_level(v, h, g)
-        return jnp.concatenate([a, d], axis=-1)
-    rowt = _local_axes_fw(blk, lvl)
-
-    # columns: halo-extended, no mod needed — ring wrap IS the periodic wrap
+def _filter_axis0_fw(rowt, h, g, axis_name, nd):
+    """One forward filter level along the sharded axis 0 with ring halos:
+    returns (a, d) local chunks (the device's slice of each half-band)."""
     flen = len(h)
     wrap = flen - 2
     r = rowt.shape[0]
@@ -106,8 +99,8 @@ def _filter_level2_fw_body(blk, h, g, axis_name, nd):
         ext = jnp.concatenate([above, rowt, below], axis=0)
     else:
         ext = rowt
-    hj = jnp.asarray(h, dtype=blk.dtype)
-    gj = jnp.asarray(g[::-1].copy(), dtype=blk.dtype)
+    hj = jnp.asarray(h, dtype=rowt.dtype)
+    gj = jnp.asarray(g[::-1].copy(), dtype=rowt.dtype)
     a0 = hj[0] * lax.slice_in_dim(ext, wrap, wrap + r, 2, axis=0)
     d0 = gj[0] * lax.slice_in_dim(ext, 0, r, 2, axis=0)
     for m in range(1, flen):
@@ -116,8 +109,19 @@ def _filter_level2_fw_body(blk, h, g, axis_name, nd):
     return a0, d0
 
 
-def _filter_level2_inv_body(a_blk, d_blk, h, g, axis_name, nd):
-    """Inverse 2-D level: (top-half, bottom-half) local chunks -> local rows."""
+def _filter_level2_fw_body(blk, h, g, axis_name, nd):
+    """blk: local chunk (sharded axis first).  Returns (top, bottom) local
+    chunks of the level output (rank-agnostic: 2-D images or 3-D volumes)."""
+    # non-sharded axes: fully local, periodic
+    def lvl(v):
+        a, d = filter_fb.dwt_level(v, h, g)
+        return jnp.concatenate([a, d], axis=-1)
+    rowt = _local_axes_fw(blk, lvl)
+    return _filter_axis0_fw(rowt, h, g, axis_name, nd)
+
+
+def _filter_axis0_inv(a_blk, d_blk, h, g, axis_name, nd):
+    """Inverse filter level along sharded axis 0 -> merged local rows."""
     flen = len(h)
     fa = (flen - 1) // 2          # scaling halo from prev
     bd = (flen - 1) // 2          # detail halo from next
@@ -155,6 +159,13 @@ def _filter_level2_inv_body(a_blk, d_blk, h, g, axis_name, nd):
     for m in range(1, flen):
         col = col + hj[m] * lax.slice_in_dim(ue, m, m + r, 1, axis=0)
         col = col + gj[m] * lax.slice_in_dim(we, m, m + r, 1, axis=0)
+
+    return col
+
+
+def _filter_level2_inv_body(a_blk, d_blk, h, g, axis_name, nd):
+    """Inverse level: (top-half, bottom-half) local chunks -> local rows."""
+    col = _filter_axis0_inv(a_blk, d_blk, h, g, axis_name, nd)
 
     # non-sharded axes inverse: local periodic, first-to-last
     def lvl(v):
@@ -199,26 +210,34 @@ def _lift_steps_axis0(s, d, scheme, fw, axis_name, nd):
     return s, d
 
 
+def _lifting_axis0_fw(rowt, scheme, axis_name, nd):
+    """One forward lifting level along sharded axis 0: even/odd split (local
+    rows even => global parity alignment holds), halo'd steps, norms."""
+    s0, d0 = rowt[0::2], rowt[1::2]
+    s0, d0 = _lift_steps_axis0(s0, d0, scheme, True, axis_name, nd)
+    dt = rowt.dtype
+    return s0 * jnp.asarray(scheme.norm1, dt), d0 * jnp.asarray(scheme.norm2, dt)
+
+
+def _lifting_axis0_inv(a_blk, d_blk, scheme, axis_name, nd):
+    dt = a_blk.dtype
+    s0 = a_blk * jnp.asarray(1.0 / scheme.norm1, dt)
+    d0 = d_blk * jnp.asarray(1.0 / scheme.norm2, dt)
+    s0, d0 = _lift_steps_axis0(s0, d0, scheme, False, axis_name, nd)
+    return jnp.stack([s0, d0], axis=1).reshape(
+        s0.shape[0] * 2, *s0.shape[1:])
+
+
 def _lifting_level2_fw_body(blk, scheme, axis_name, nd):
     def lvl(v):
         sv, dv = lifting.lifting_level_fw(v, scheme)
         return jnp.concatenate([sv, dv], axis=-1)
     rowt = _local_axes_fw(blk, lvl)  # non-sharded axes (local, periodic)
-    # sharded axis: even/odd split along axis 0 (local rows even => global
-    # parity alignment holds on every device)
-    s0, d0 = rowt[0::2], rowt[1::2]
-    s0, d0 = _lift_steps_axis0(s0, d0, scheme, True, axis_name, nd)
-    dt = blk.dtype
-    return s0 * jnp.asarray(scheme.norm1, dt), d0 * jnp.asarray(scheme.norm2, dt)
+    return _lifting_axis0_fw(rowt, scheme, axis_name, nd)
 
 
 def _lifting_level2_inv_body(a_blk, d_blk, scheme, axis_name, nd):
-    dt = a_blk.dtype
-    s0 = a_blk * jnp.asarray(1.0 / scheme.norm1, dt)
-    d0 = d_blk * jnp.asarray(1.0 / scheme.norm2, dt)
-    s0, d0 = _lift_steps_axis0(s0, d0, scheme, False, axis_name, nd)
-    col = jnp.stack([s0, d0], axis=1).reshape(
-        s0.shape[0] * 2, *s0.shape[1:])
+    col = _lifting_axis0_inv(a_blk, d_blk, scheme, axis_name, nd)
 
     def lvl(v):
         half = v.shape[-1] // 2
