@@ -90,11 +90,20 @@ def pick_col_tm(rows: int, halo: int, cap: int = 1024):
     return None
 
 
-def pick_row_tm(m: int, n: int, itemsize: int, budget: int = 2 << 20):
-    """Row-kernel tile: keep one (tm, n) block near the VMEM budget."""
+def pick_row_tm(m: int, n: int, itemsize: int, budget: int = 2 << 20,
+                live: int | None = None):
+    """Row-kernel tile: keep one (tm, n) block near the VMEM budget.
+
+    ``live`` (number of simultaneously live block-sized temporaries the
+    kernel creates — Mosaic stack-allocates them) overrides the flat
+    budget: the block is sized so live blocks fit in ~14 MB."""
+    if live is not None:
+        budget = (14 << 20) // max(live, 1)
     bpr = 2 * n * itemsize
-    tm = max(8, min(512, budget // max(bpr, 1)))
-    tm = max(8, (tm // 8) * 8)
-    while tm > 8 and m % tm:
-        tm //= 2
-    return tm if m % tm == 0 else None
+    cap = max(8, min(512, budget // max(bpr, 1)))
+    if m % 8:
+        return None
+    tm = 8
+    while tm * 2 <= cap and m % (tm * 2) == 0:
+        tm *= 2
+    return tm

@@ -53,8 +53,14 @@ def _plan_level(m: int, n: int, flen: int, dtype):
         return None
     halo = roundup(max(flen, 2), 8)        # covers both directions' reach
     tn = 256 if n % 512 else 512
+    # The inverse row kernel keeps ~2*flen+4 live block temps on Mosaic's
+    # VMEM stack (u/w plus a roll per tap per filter; db4 at 1 MB blocks
+    # needed 17.1 MB) — size its tile separately; the forward kernel's
+    # rolls retire into the two accumulators and fit the flat budget
     tm_row = pick_row_tm(m, n, np.dtype(dtype).itemsize)
-    if tm_row is None:
+    tm_row_inv = pick_row_tm(m, n, np.dtype(dtype).itemsize,
+                             live=2 * flen + 4)
+    if tm_row is None or tm_row_inv is None:
         return None
     # Mosaic stack-allocates the kernel's live temporaries in VMEM; measured
     # live set is ~(flen + 8) tiles, so budget the column tile accordingly
@@ -70,7 +76,7 @@ def _plan_level(m: int, n: int, flen: int, dtype):
         return None
     if 2 * halo >= m:
         return None
-    return tm_row, tm_col, tm_col_inv, halo, tn
+    return tm_row, tm_row_inv, tm_col, tm_col_inv, halo, tn
 
 
 def pallas_ok(shape, wt: OrthoFilter, L: int, dtype) -> bool:
@@ -253,7 +259,7 @@ def _level_fw_quads(active, wt: OrthoFilter):
         out = _level2_jnp(active, wt, fw=True)
         mh, nh = m // 2, n // 2
         return (out[:mh, :nh], out[:mh, nh:], out[mh:, :nh], out[mh:, nh:])
-    tm_row, tm_col, _, halo, tn = plan
+    tm_row, _, tm_col, _, halo, tn = plan
     rowt = _rows(active, wt, tm_row, fw=True)
     return _cols_fw_quads(rowt, wt, tm_col, halo, tn)
 
@@ -267,9 +273,9 @@ def _level_inv_quads(ll, lh, hl, hh, wt: OrthoFilter):
             jnp.concatenate([ll, lh], axis=1),
             jnp.concatenate([hl, hh], axis=1)], axis=0)
         return _level2_jnp(packed, wt, fw=False)
-    tm_row, _, tm_ci, halo, tn = plan
+    _, tm_row_inv, _, tm_ci, halo, tn = plan
     col = _cols_inv_quads(ll, lh, hl, hh, wt, tm_ci, halo, tn)
-    return _rows(col, wt, tm_row, fw=False)
+    return _rows(col, wt, tm_row_inv, fw=False)
 
 
 def dwt2_filter(x, wt: OrthoFilter, L: int):
