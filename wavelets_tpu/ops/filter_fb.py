@@ -86,18 +86,34 @@ def dwt_level(x, h: np.ndarray, g: np.ndarray):
 
     # a[k] = sum_m h[m] xe[2k + m]            (xe = x extended right)
     # d[k] = sum_m g[flen-1-m] xd[2k + m]     (xd = x extended left by flen-2)
-    xe = _extend_periodic(x, 0, max(flen - 2, 0))
-    xd = _extend_periodic(x, max(flen - 2, 0), 0)
+    # Stride-2 access runs through a pair reshape (even/odd planes) with
+    # stride-1 slices — XLA:TPU lowers stride-2 slices ~3x slower.
+    wrap = max(flen - 2, 0)
+    pad = (n + wrap) % 2
+    xe = _extend_periodic(x, 0, wrap + pad)
+    xd = _extend_periodic(x, wrap, pad)
     grev = g[::-1]
+
+    def planes(v):
+        r = v.reshape(*v.shape[:-1], v.shape[-1] // 2, 2)
+        return r[..., 0], r[..., 1]
+
+    e0, e1 = planes(xe)   # xe[2q], xe[2q+1]
+    f0, f1 = planes(xd)
 
     hj = jnp.asarray(h, dtype=x.dtype)
     gj = jnp.asarray(grev.copy(), dtype=x.dtype)
 
-    a = hj[0] * jax.lax.slice_in_dim(xe, 0, n, 2, axis=-1)
-    d = gj[0] * jax.lax.slice_in_dim(xd, 0, n, 2, axis=-1)
-    for m in range(1, flen):
-        a = a + hj[m] * jax.lax.slice_in_dim(xe, m, m + n - 1, 2, axis=-1)
-        d = d + gj[m] * jax.lax.slice_in_dim(xd, m, m + n - 1, 2, axis=-1)
+    a = None
+    d = None
+    for m in range(flen):
+        src_a = e0 if m % 2 == 0 else e1
+        src_d = f0 if m % 2 == 0 else f1
+        off = m // 2
+        ta = hj[m] * jax.lax.slice_in_dim(src_a, off, off + half, 1, axis=-1)
+        td = gj[m] * jax.lax.slice_in_dim(src_d, off, off + half, 1, axis=-1)
+        a = ta if a is None else a + ta
+        d = td if d is None else d + td
     return a, d
 
 
