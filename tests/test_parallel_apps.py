@@ -1,0 +1,76 @@
+"""Distributed application layer vs single-device results on the virtual
+8-device CPU mesh (SURVEY §2.3/§3.5: psum entropy reductions, distributed
+noisest, sharded denoise)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import wavelets_tpu as w
+from wavelets_tpu import parallel
+
+
+def _mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return parallel.make_mesh(8)
+
+
+@pytest.mark.parametrize("wname,kind", [("db2", "filter"),
+                                        ("cdf97", "lifting")])
+def test_bestbasistree_matches_single_device(wname, kind):
+    mesh = _mesh()
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    rng = np.random.default_rng(91)
+    x = rng.standard_normal(512)
+
+    ref = w.bestbasistree(jnp.asarray(x), wt)
+    xs = parallel.shard_rows(jnp.asarray(x).reshape(512, 1), mesh)[:, 0]
+    got = parallel.bestbasistree(xs, wt, mesh=mesh)
+    assert np.array_equal(ref, got)
+
+
+def test_bestbasistree_limited_depth_tree():
+    mesh = _mesh()
+    wt = w.wt.wavelet(w.wt.db2)
+    rng = np.random.default_rng(92)
+    x = rng.standard_normal(256)
+    ref = w.bestbasistree(jnp.asarray(x), wt, L=4)
+    got = parallel.bestbasistree(jnp.asarray(x), wt, L=4, mesh=mesh)
+    assert np.array_equal(ref, got)
+
+
+def test_noisest_matches_single_device():
+    mesh = _mesh()
+    wt = w.wt.wavelet(w.wt.db2)
+    rng = np.random.default_rng(93)
+    x = rng.standard_normal((128, 128))
+    ref = float(w.noisest(jnp.asarray(x), wt))
+    xs = parallel.shard_rows(jnp.asarray(x), mesh)
+    got = float(parallel.noisest(xs, wt, mesh=mesh))
+    assert abs(ref - got) < 1e-6 * max(1.0, abs(ref))
+
+
+def test_denoise_matches_single_device():
+    mesh = _mesh()
+    wt = w.wt.wavelet(w.wt.db2)
+    rng = np.random.default_rng(94)
+    x = w.testfunction(128, "HeaviSine")
+    img = np.add.outer(x, x) + 0.1 * rng.standard_normal((128, 128))
+
+    ref = np.asarray(w.denoise(jnp.asarray(img), wt, L=3))
+    xs = parallel.shard_rows(jnp.asarray(img), mesh)
+    got = np.asarray(parallel.denoise(xs, wt, L=3, mesh=mesh))
+    assert np.abs(ref - got).max() < 1e-5
+
+
+def test_denoise_TI_sharded_runs():
+    mesh = _mesh()
+    wt = w.wt.wavelet(w.wt.db2)
+    rng = np.random.default_rng(95)
+    img = rng.standard_normal((64, 64))
+    xs = parallel.shard_rows(jnp.asarray(img), mesh)
+    out = np.asarray(parallel.denoise(xs, wt, L=2, TI=True, nspin=2,
+                                      mesh=mesh))
+    assert out.shape == img.shape and np.isfinite(out).all()

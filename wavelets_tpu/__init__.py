@@ -33,6 +33,10 @@ from .wt import (
     DiscreteWavelet, FilterWavelet, LSWavelet, OrthoFilter, GLS, wavelet,
 )
 from .transforms import dwt, idwt, wpt, iwpt, modwt, imodwt, dwtc, idwtc
+# Functional analogues of the reference's split!/merge! polyphase utilities
+# (src/Util/Util.jl:14-43; the in-place stridedcopy! has no functional
+# counterpart — see PARITY.md).
+from .ops.lifting import split_last, merge_last
 from .subbands import dwt_subbands, idwt_subbands, to_packed, from_packed
 from .threshold import (
     threshold, HardTH, SoftTH, SemiSoftTH, SteinTH, BiggestTH, PosTH, NegTH,
@@ -58,6 +62,7 @@ __all__ = [
     "iscube", "isdyadic", "sufficientpoweroftwo",
     "maketree", "isvalidtree",
     "mirror", "upsample", "downsample", "wcount", "circshift",
+    "split_last", "merge_last",
     "makewavelet", "testfunction",
     "threshold", "HardTH", "SoftTH", "SemiSoftTH", "SteinTH", "BiggestTH",
     "PosTH", "NegTH", "VisuShrink", "denoise", "noisest",

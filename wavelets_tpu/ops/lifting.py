@@ -11,7 +11,7 @@ the other half, so a step is
 where roll is a periodic shift along the last axis (this uniformly covers
 the reference's in-bounds fast path and its mod1 boundary path).  XLA fuses
 the whole step chain into a handful of elementwise kernels; the fused
-Pallas version lives in ops/pallas/lifting_kernels.py.
+Pallas versions live in ops/pallas/lifting2d.py and ops/pallas/fused2d.py.
 
 Forward: split even/odd -> steps with negated coefficients -> scale halves
 by (norm1, norm2).  Inverse: scale by reciprocals -> steps reversed with

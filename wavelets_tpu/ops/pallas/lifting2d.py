@@ -18,10 +18,16 @@ the kernels avoid materialized deinterleaves:
 * column kernel — 2-D grid with (H, TN) ring-halo blocks whose index maps
   wrap modulo the row-block count (periodic boundary == block-index mod).
   Sublane deinterleave uses the supported (R,2,C)-reshape; steps are
-  sublane rolls whose wrap garbage stays inside the halo.  The lane
-  un/shuffle between the interleaved working layout and the packed quadrant
-  layout runs in-kernel as a log2(TN)-stage roll+mask butterfly (the only
-  lane permutation Mosaic accepts), so quadrants are written directly.
+  sublane rolls whose wrap garbage stays inside the halo.  The kernel
+  emits two LANE-INTERLEAVED arrays — S = [ll lh ll lh ...] (scaling
+  rows) and D = [hl hh ...] (detail rows) — and never permutes lanes:
+  round 1 measured the in-kernel log2(TN)-stage roll+mask lane butterfly
+  as the single largest VPU cost (column kernel at ~170 GB/s vs the 400
+  GB/s copy roofline).  The even/odd lane split into quadrants is instead
+  an XLA pair-reshape gather (``v.reshape(m, n/2, 2)[..., k]`` — the fast
+  lowering on XLA:TPU): the ``ll`` feed for the next level is one small
+  gather, and the detail gathers fuse into the final packed-layout
+  assembly concatenation, costing no extra pass.
 * levels exchange a quadrant pytree; the reference's packed array layout is
   produced by one concatenation cascade at the end (forward) or consumed by
   one slice pass at the start (inverse).
@@ -196,8 +202,7 @@ def _halo_specs(tm: int, halo: int, nblocks_h: int, tn: int):
     ]
 
 
-def _col_fw_kernel(top_ref, mid_ref, bot_ref,
-                   ll_ref, lh_ref, hl_ref, hh_ref, *, scheme, halo):
+def _col_fw_kernel(top_ref, mid_ref, bot_ref, s_ref, d_ref, *, scheme, halo):
     ext = jnp.concatenate([top_ref[:], mid_ref[:], bot_ref[:]], axis=0)
     rows, tn = ext.shape
     r = ext.reshape(rows // 2, 2, tn)
@@ -206,43 +211,44 @@ def _col_fw_kernel(top_ref, mid_ref, bot_ref,
     hh_ = halo // 2
     tm2 = s.shape[0] - halo
     dt = ext.dtype
-    s = s[hh_: hh_ + tm2] * jnp.asarray(scheme.norm1, dt)
-    d = d[hh_: hh_ + tm2] * jnp.asarray(scheme.norm2, dt)
-    s = _deint_lanes(s)
-    d = _deint_lanes(d)
-    half = tn // 2
-    ll_ref[:] = s[:, :half]
-    lh_ref[:] = s[:, half:]
-    hl_ref[:] = d[:, :half]
-    hh_ref[:] = d[:, half:]
+    s_ref[:] = s[hh_: hh_ + tm2] * jnp.asarray(scheme.norm1, dt)
+    d_ref[:] = d[hh_: hh_ + tm2] * jnp.asarray(scheme.norm2, dt)
 
 
-def _cols_fw_quads(x, scheme: GLS, tm: int, halo: int, tn: int):
-    """Row-transformed (lane-interleaved) array -> four quadrant arrays."""
+def _cols_fw_sd(x, scheme: GLS, tm: int, halo: int, tn: int):
+    """Row-transformed (lane-interleaved) array -> (S, D) half-height
+    arrays, still lane-interleaved (S = [ll lh ...], D = [hl hh ...])."""
     m, n = x.shape
-    qshape = jax.ShapeDtypeStruct((m // 2, n // 2), x.dtype)
-    qspec = pl.BlockSpec((tm // 2, tn // 2), lambda i, j: (i, j),
+    oshape = jax.ShapeDtypeStruct((m // 2, n), x.dtype)
+    ospec = pl.BlockSpec((tm // 2, tn), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_col_fw_kernel, scheme=scheme, halo=halo),
         grid=(m // tm, n // tn),
         in_specs=_halo_specs(tm, halo, m // halo, tn),
-        out_specs=(qspec, qspec, qspec, qspec),
-        out_shape=(qshape, qshape, qshape, qshape),
+        out_specs=(ospec, ospec),
+        out_shape=(oshape, oshape),
     )(x, x, x)
 
 
-def _col_inv_kernel(llt, llc, llb, lht, lhc, lhb,
-                    hlt, hlc, hlb, hht, hhc, hhb, x_ref,
-                    *, scheme, halo, tm):
-    s = jnp.concatenate([
-        jnp.concatenate([llt[:], llc[:], llb[:]], axis=0),
-        jnp.concatenate([lht[:], lhc[:], lhb[:]], axis=0)], axis=1)
-    d = jnp.concatenate([
-        jnp.concatenate([hlt[:], hlc[:], hlb[:]], axis=0),
-        jnp.concatenate([hht[:], hhc[:], hhb[:]], axis=0)], axis=1)
-    s = _int_lanes(s)  # -> lane-interleaved row coefficients
-    d = _int_lanes(d)
+def even_lanes(v):
+    """v[..., 0::2] as the fast pair-reshape gather (no stride-2 slice)."""
+    return v.reshape(*v.shape[:-1], v.shape[-1] // 2, 2)[..., 0]
+
+
+def odd_lanes(v):
+    return v.reshape(*v.shape[:-1], v.shape[-1] // 2, 2)[..., 1]
+
+
+def int_lanes_xla(a, b):
+    """Interleave two (m, n/2) arrays into (m, n): [a0 b0 a1 b1 ...]."""
+    return jnp.stack([a, b], axis=-1).reshape(*a.shape[:-1],
+                                              2 * a.shape[-1])
+
+
+def _col_inv_kernel(st_, sc_, sb_, dt_, dc_, db_, x_ref, *, scheme, halo, tm):
+    s = jnp.concatenate([st_[:], sc_[:], sb_[:]], axis=0)
+    d = jnp.concatenate([dt_[:], dc_[:], db_[:]], axis=0)
     dt = s.dtype
     s = s * jnp.asarray(1.0 / scheme.norm1, dt)
     d = d * jnp.asarray(1.0 / scheme.norm2, dt)
@@ -252,19 +258,20 @@ def _col_inv_kernel(llt, llc, llb, lht, lhc, lhb,
     x_ref[:] = jnp.stack([s, d], axis=1).reshape(2 * tm, s.shape[-1])
 
 
-def _cols_inv_quads(ll, lh, hl, hh, scheme: GLS, tm: int, halo: int, tn: int):
-    """Four quadrants -> column-inverted, lane-interleaved (m, n) array."""
-    mh, nh = ll.shape
-    m, n = 2 * mh, 2 * nh
-    hspec = _halo_specs(tm, halo, mh // halo, tn // 2)
+def _cols_inv_sd(S, D, scheme: GLS, tm: int, halo: int, tn: int):
+    """(S, D) lane-interleaved half-height arrays -> column-inverted,
+    lane-interleaved (m, n) array (ready for the row-inverse kernel)."""
+    mh, n = S.shape
+    m = 2 * mh
+    hspec = _halo_specs(tm, halo, mh // halo, tn)
     return pl.pallas_call(
         partial(_col_inv_kernel, scheme=scheme, halo=halo, tm=tm),
         grid=(mh // tm, n // tn),
-        in_specs=hspec + hspec + hspec + hspec,
+        in_specs=hspec + hspec,
         out_specs=pl.BlockSpec((2 * tm, tn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), ll.dtype),
-    )(ll, ll, ll, lh, lh, lh, hl, hl, hl, hh, hh, hh)
+        out_shape=jax.ShapeDtypeStruct((m, n), S.dtype),
+    )(S, S, S, D, D, D)
 
 
 # --- level + multi-level drivers --------------------------------------------
@@ -290,12 +297,12 @@ def _level2_jnp(active, scheme: GLS, fw: bool):
 def _level_fw_quads(active, scheme: GLS):
     """One forward level: active -> (ll, lh, hl, hh)."""
     m, n = active.shape
-    # A single-pass fused kernel exists (fused2d.py) but measures ~30%
-    # SLOWER on v5e despite halving HBM traffic: the two-kernel pipeline is
-    # bandwidth-bound with its VPU work hidden under DMA, while the fused
-    # kernel is roll/select-bound.  Opt in to experiment:
+    # Single-pass fused level kernel (fused2d.py): reads the active array
+    # once (plus halo overlap) and writes the quadrants once — ~2.3 HBM
+    # passes per level vs this pipeline's ~4.  Opt out with
+    # WAVELETS_TPU_FUSED2D=0.
     import os
-    if os.environ.get("WAVELETS_TPU_FUSED2D") == "1":
+    if os.environ.get("WAVELETS_TPU_FUSED2D") != "0":
         from .fused2d import fused_ok, fused_level_fw_quads
         if fused_ok(m, n, scheme, active.dtype):
             return fused_level_fw_quads(active, scheme)
@@ -306,7 +313,11 @@ def _level_fw_quads(active, scheme: GLS):
         return (out[:mh, :nh], out[:mh, nh:], out[mh:, :nh], out[mh:, nh:])
     tm_row, tm_col, _, halo, tn = plan
     rowt = _rows(active, scheme, tm_row, fw=True)
-    return _cols_fw_quads(rowt, scheme, tm_col, halo, tn)
+    S, D = _cols_fw_sd(rowt, scheme, tm_col, halo, tn)
+    # Even/odd lane split happens in XLA: the ll gather feeds the next
+    # level; the three detail gathers fuse into the packed-layout assembly
+    # concatenation downstream (no dedicated pass).
+    return even_lanes(S), odd_lanes(S), even_lanes(D), odd_lanes(D)
 
 
 def _level_inv_quads(ll, lh, hl, hh, scheme: GLS):
@@ -320,7 +331,9 @@ def _level_inv_quads(ll, lh, hl, hh, scheme: GLS):
             jnp.concatenate([hl, hh], axis=1)], axis=0)
         return _level2_jnp(packed, scheme, fw=False)
     tm_row, _, tm_ci, halo, tn = plan
-    col = _cols_inv_quads(ll, lh, hl, hh, scheme, tm_ci, halo, tn)
+    S = int_lanes_xla(ll, lh)
+    D = int_lanes_xla(hl, hh)
+    col = _cols_inv_sd(S, D, scheme, tm_ci, halo, tn)
     return _rows(col, scheme, tm_row, fw=False)
 
 
@@ -338,13 +351,10 @@ def lifting_level2(active, scheme: GLS, fw: bool):
                             active[mh:, :nh], active[mh:, nh:], scheme)
 
 
-def dwt2_lifting(x, scheme: GLS, L: int):
-    """Multi-level forward 2-D lifting DWT, packed layout (Pallas path).
-
-    Levels exchange quadrants; the packed array is assembled once by a
-    concatenation cascade (one effective pass)."""
-    if L == 0:
-        return x
+def _dwt2_quads(x, scheme: GLS, L: int):
+    """Quadrant-mode multi-level driver: levels exchange quadrant arrays;
+    the packed array is assembled by one concatenation cascade (XLA fuses
+    the concat tree into a single materialization pass)."""
     ll = x
     details = []
     for _ in range(L):
@@ -356,6 +366,39 @@ def dwt2_lifting(x, scheme: GLS, L: int):
             jnp.concatenate([y, lh], axis=1),
             jnp.concatenate([hl, hh], axis=1)], axis=0)
     return y
+
+
+def _dwt2_packed(x, scheme: GLS, L: int):
+    """Packed-mode multi-level driver: each fused level writes its detail
+    quadrants straight into their final positions of one full-size buffer
+    (alias-chained through the levels), so the packed layout costs no
+    assembly pass.  Returns None when the first level is not eligible."""
+    from .fused2d import packed_ok, level_fw_packed, level_fw_packed_first
+    m, n = x.shape
+    ll, y, done = x, None, 0
+    for l in range(L):
+        if not packed_ok(m >> l, n >> l, scheme, x.dtype):
+            break
+        ll, y = (level_fw_packed_first(ll, scheme) if y is None
+                 else level_fw_packed(ll, y, scheme))
+        done += 1
+    if y is None:
+        return None
+    if done < L:
+        ll = _dwt2_quads(ll, scheme, L - done)   # small tail levels
+    return jax.lax.dynamic_update_slice(y, ll, (0, 0))
+
+
+def dwt2_lifting(x, scheme: GLS, L: int):
+    """Multi-level forward 2-D lifting DWT, packed layout (Pallas path)."""
+    if L == 0:
+        return x
+    import os
+    if os.environ.get("WAVELETS_TPU_PACKED2D") == "1":
+        y = _dwt2_packed(x, scheme, L)
+        if y is not None:
+            return y
+    return _dwt2_quads(x, scheme, L)
 
 
 def idwt2_lifting(y, scheme: GLS, L: int):

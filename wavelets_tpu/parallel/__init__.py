@@ -1,7 +1,9 @@
-"""Multi-chip parallel execution: meshes, sharded transforms, halo rings."""
+"""Multi-chip parallel execution: meshes, sharded transforms, halo rings,
+and the distributed application layer (best-basis, noisest, denoise)."""
 
 from .sharded import make_mesh, shard_rows, dwt2, idwt2, dwt3, idwt3
+from .apps import bestbasistree, noisest, denoise
 from . import mesh2d
 
 __all__ = ["make_mesh", "shard_rows", "dwt2", "idwt2", "dwt3", "idwt3",
-           "mesh2d"]
+           "bestbasistree", "noisest", "denoise", "mesh2d"]

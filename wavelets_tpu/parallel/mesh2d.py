@@ -21,10 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:
-    from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.7: public API (the experimental path is deprecated)
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map
 
 from ..utils.indexing import maxtransformlevels
 from ..wt.carriers import OrthoFilter

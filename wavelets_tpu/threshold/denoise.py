@@ -51,7 +51,12 @@ DEFAULT_WAVELET = _default_wavelet()
 def noisest(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, L: int = 1):
     """Estimate the noise sigma: MAD of the level-L detail band / 0.6745.
 
-    reference: src/Threshold/denoising.jl:94-110
+    reference: src/Threshold/denoising.jl:94-110.  Declared divergence for
+    ndim > 1: the reference applies ``detailrange`` as LINEAR indices into
+    the column-major array (grabbing an arbitrary flat chunk,
+    denoising.jl:100-101); this implementation takes the detail-row band
+    (the rows holding the level-L detail quadrants), which is the
+    better-defined statistic.  See PARITY.md.
     """
     x = _as_float(x)
     if wt is None:
@@ -81,11 +86,15 @@ def _spin_shifts(nspin, ndim: int) -> np.ndarray:
 def denoise(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, *,
             L: int | None = None, dnt: DNFT | None = None,
             estnoise=noisest, TI: bool = False,
-            nspin=None):
+            nspin=None, spin_chunk: int = 8):
     """Wavelet-shrinkage denoising (reference: denoising.jl:22-82).
 
     TI=True averages over all circular shifts in the ``nspin`` grid
-    (default 8 per dimension), evaluated as one vmapped batch.
+    (default 8 per dimension).  The shifts are evaluated ``spin_chunk`` at
+    a time (vmapped within a chunk, lax.scan across chunks, running-sum
+    accumulation), so peak memory is ``spin_chunk`` full-size transforms
+    regardless of the grid size — a 16k^2 float32 image with the default
+    64-spin grid needs ~8 GB transient, not ~64 GB.
     """
     x = _as_float(x)
     if not iscube(x):
@@ -121,5 +130,20 @@ def denoise(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, *,
             z = jnp.roll(z, -shift[ax], axis=ax)
         return z
 
-    spun = jax.vmap(spin)(jnp.asarray(shifts))
-    return jnp.mean(spun, axis=0)
+    pns = len(shifts)
+    chunk = max(1, min(int(spin_chunk), pns))
+    pad = (-pns) % chunk
+    shifts_p = np.concatenate(
+        [shifts, np.zeros((pad, x.ndim), np.int32)]) if pad else shifts
+    wts = np.concatenate([np.ones(pns), np.zeros(pad)]).astype(x.dtype)
+
+    def chunk_body(acc, args):
+        sh, w = args
+        vals = jax.vmap(spin)(sh)                       # (chunk, ...)
+        return acc + jnp.tensordot(w, vals, axes=1), None
+
+    acc, _ = jax.lax.scan(
+        chunk_body, jnp.zeros_like(x),
+        (jnp.asarray(shifts_p).reshape(-1, chunk, x.ndim),
+         jnp.asarray(wts).reshape(-1, chunk)))
+    return acc / pns

@@ -98,8 +98,16 @@ def bestbasistree(y, wt: DiscreteWavelet, L: int | None = None,
     segs = x.reshape(n_af, n // n_af)
     entr_af = np.asarray(jnp.sum(_coef_terms(segs, et, nrm), axis=-1))
 
-    tree = np.asarray(tree, dtype=bool)
+    return prune_tree(np.asarray(tree, dtype=bool), entr_bf, entr_af, n)
+
+
+def prune_tree(tree: np.ndarray, entr_bf: np.ndarray, entr_af: np.ndarray,
+               n: int) -> np.ndarray:
+    """Host-side Coifman–Wickerhauser bottom-up min-prune over the entropy
+    heap (reference: entropy.jl:94-129).  ``entr_bf`` — per-node before-
+    entropies (heap order); ``entr_af`` — bottom-depth leaf entropies."""
     ntree = len(tree)
+    n_af = (ntree + 1) // 2
 
     # bottom-up: cheapest achievable entropy of the subtree rooted at i
     best = np.zeros(ntree)

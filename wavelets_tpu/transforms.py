@@ -3,9 +3,10 @@
 Functional analogue of the reference front-end
 (src/Transforms/transforms_main.jl): the transform kind dispatches on the
 wavelet carrier type (OrthoFilter -> filter engine, GLS -> lifting engine);
-the array rank selects 1-D/2-D/3-D.  There are no in-place variants — JAX
-is functional and XLA recovers in-placeness through buffer donation; the
-jitted wrappers here donate their inputs where safe.
+the array rank selects 1-D/2-D/3-D.  There are no mutating variants — JAX
+is functional; the reference's in-place surface (dwt!/idwt!/wpt!,
+transforms_main.jl:44-67) maps to ``donate=True`` on each entry point,
+which hands XLA the input buffer for reuse (same peak-memory effect).
 
 All entry points jit-compile once per (shape, dtype, wavelet, levels) and
 cache; wavelet carriers are hashable static arguments.
@@ -103,8 +104,7 @@ def _use_pallas_3d(x, wt, L) -> bool:
     return pallas_ok(x.shape, wt, L, x.dtype)
 
 
-@partial(jax.jit, static_argnames=("wt", "L", "ndt", "fw"))
-def _dwt_jit(x, wt, L, ndt, fw):
+def _dwt_impl(x, wt, L, ndt, fw):
     if ndt == 2 and x.ndim >= 2 and _use_pallas(x, wt, L):
         if isinstance(wt, GLS):
             from .ops.pallas.lifting2d import dwt2_lifting, idwt2_lifting
@@ -138,29 +138,46 @@ def _dwt_jit(x, wt, L, ndt, fw):
         else lifting.idwt_nd_lifting(x, wt, L, ndt)
 
 
-def dwt(x, wt: DiscreteWavelet, L: int | None = None, *, ndt: int | None = None):
+# Two compiled entry points: the default keeps the caller's array alive
+# (reference's out-of-place dwt, transforms_main.jl:109-124); the donating
+# variant gives XLA the input buffer to reuse — the functional stand-in for
+# the reference's in-place dwt!/idwt! (transforms_main.jl:44-67), halving
+# peak HBM for full-size transforms.
+_dwt_jit = partial(jax.jit, static_argnames=("wt", "L", "ndt", "fw"))(_dwt_impl)
+_dwt_jit_donate = partial(jax.jit, static_argnames=("wt", "L", "ndt", "fw"),
+                          donate_argnums=0)(_dwt_impl)
+
+
+def dwt(x, wt: DiscreteWavelet, L: int | None = None, *,
+        ndt: int | None = None, donate: bool = False):
     """Forward discrete wavelet transform.
 
     ``x`` — rank-1/2/3 array (or higher: the trailing ``ndt`` axes are
     transformed, leading axes batch).  ``wt`` — a carrier from
     ``wt.wavelet``.  ``L`` — number of levels (default: max possible).
+    ``donate=True`` donates ``x``'s device buffer to the computation (the
+    functional analogue of the reference's in-place ``dwt!``); the caller
+    must not use ``x`` afterwards.
     """
     x = _as_float(x)
     ndt = _ndt(x, ndt)
     if L is None:
         L = maxtransformlevels(x.shape[-ndt:])
     _check_levels(x, L, ndt)
-    return _dwt_jit(x, wt, int(L), ndt, True)
+    fn = _dwt_jit_donate if donate else _dwt_jit
+    return fn(x, wt, int(L), ndt, True)
 
 
-def idwt(y, wt: DiscreteWavelet, L: int | None = None, *, ndt: int | None = None):
-    """Inverse of :func:`dwt`."""
+def idwt(y, wt: DiscreteWavelet, L: int | None = None, *,
+         ndt: int | None = None, donate: bool = False):
+    """Inverse of :func:`dwt` (``donate=True`` = the reference's idwt!)."""
     y = _as_float(y)
     ndt = _ndt(y, ndt)
     if L is None:
         L = maxtransformlevels(y.shape[-ndt:])
     _check_levels(y, L, ndt)
-    return _dwt_jit(y, wt, int(L), ndt, False)
+    fn = _dwt_jit_donate if donate else _dwt_jit
+    return fn(y, wt, int(L), ndt, False)
 
 
 # --- wavelet packets --------------------------------------------------------
@@ -169,33 +186,40 @@ def _tree_tuple(tree) -> tuple:
     return tuple(bool(b) for b in np.asarray(tree, dtype=bool))
 
 
-@partial(jax.jit, static_argnames=("wt", "tree", "fw"))
-def _wpt_jit(x, wt, tree, fw):
+def _wpt_impl(x, wt, tree, fw):
     t = np.asarray(tree, dtype=bool)
     return wpt_ops.wpt(x, wt, t) if fw else wpt_ops.iwpt(x, wt, t)
 
 
-def _wpt_common(x, wt, tree, L, fw):
+_wpt_jit = partial(jax.jit, static_argnames=("wt", "tree", "fw"))(_wpt_impl)
+_wpt_jit_donate = partial(jax.jit, static_argnames=("wt", "tree", "fw"),
+                          donate_argnums=0)(_wpt_impl)
+
+
+def _wpt_common(x, wt, tree, L, fw, donate=False):
     x = _as_float(x)
     n = x.shape[-1]
     if tree is None:
         L = maxtransformlevels(n) if L is None else int(L)
         tree = maketree(n, L, "full")
-    return _wpt_jit(x, wt, _tree_tuple(tree), fw)
+    fn = _wpt_jit_donate if donate else _wpt_jit
+    return fn(x, wt, _tree_tuple(tree), fw)
 
 
-def wpt(x, wt: DiscreteWavelet, tree=None, L: int | None = None):
+def wpt(x, wt: DiscreteWavelet, tree=None, L: int | None = None, *,
+        donate: bool = False):
     """Wavelet packet transform along the last axis.
 
     ``tree`` is a bool heap vector (see utils.maketree); if omitted, a full
-    L-level tree is used.
+    L-level tree is used.  ``donate=True`` = the reference's ``wpt!``.
     """
-    return _wpt_common(x, wt, tree, L, fw=True)
+    return _wpt_common(x, wt, tree, L, fw=True, donate=donate)
 
 
-def iwpt(y, wt: DiscreteWavelet, tree=None, L: int | None = None):
+def iwpt(y, wt: DiscreteWavelet, tree=None, L: int | None = None, *,
+         donate: bool = False):
     """Inverse of :func:`wpt`."""
-    return _wpt_common(y, wt, tree, L, fw=False)
+    return _wpt_common(y, wt, tree, L, fw=False, donate=donate)
 
 
 # --- MODWT ------------------------------------------------------------------
@@ -212,35 +236,44 @@ def _modwt_use_pallas(shape, wt, dtype) -> bool:
     return _pallas_enabled() and pallas_ok(shape, wt, dtype)
 
 
-@partial(jax.jit, static_argnames=("wt", "L"))
-def _modwt_jit(x, wt, L):
+def _modwt_impl(x, wt, L):
     if x.ndim == 2 and _modwt_use_pallas(x.shape, wt, x.dtype):
         from .ops.pallas.modwt1d import modwt_pallas
         return modwt_pallas(x, wt, L)
     return modwt_ops.modwt(x, wt, L)
 
 
-@partial(jax.jit, static_argnames=("wt",))
-def _imodwt_jit(xw, wt):
+def _imodwt_impl(xw, wt):
     if xw.ndim == 3 and _modwt_use_pallas(xw.shape[:2], wt, xw.dtype):
         from .ops.pallas.modwt1d import imodwt_pallas
         return imodwt_pallas(xw, wt)
     return modwt_ops.imodwt(xw, wt)
 
 
-def modwt(x, wt: OrthoFilter, L: int | None = None):
+_modwt_jit = partial(jax.jit, static_argnames=("wt", "L"))(_modwt_impl)
+_modwt_jit_donate = partial(jax.jit, static_argnames=("wt", "L"),
+                            donate_argnums=0)(_modwt_impl)
+_imodwt_jit = partial(jax.jit, static_argnames=("wt",))(_imodwt_impl)
+_imodwt_jit_donate = partial(jax.jit, static_argnames=("wt",),
+                             donate_argnums=0)(_imodwt_impl)
+
+
+def modwt(x, wt: OrthoFilter, L: int | None = None, *,
+          donate: bool = False):
     """Maximal-overlap DWT along the last axis -> (..., N, L+1)."""
     x = _as_float(x)
     if L is None:
         from .utils.indexing import maxmodwttransformlevels
         L = maxmodwttransformlevels(x.shape[-1])
-    return _modwt_jit(x, wt, int(L))
+    fn = _modwt_jit_donate if donate else _modwt_jit
+    return fn(x, wt, int(L))
 
 
-def imodwt(xw, wt: OrthoFilter):
+def imodwt(xw, wt: OrthoFilter, *, donate: bool = False):
     """Inverse MODWT of an (..., N, L+1) coefficient array."""
     xw = _as_float(xw)
-    return _imodwt_jit(xw, wt)
+    fn = _imodwt_jit_donate if donate else _imodwt_jit
+    return fn(xw, wt)
 
 
 # --- column-wise transform over the trailing channel axis -------------------
