@@ -1,0 +1,119 @@
+"""Benchmark-as-regression-test harness.
+
+Mirrors the reference's per-PR benchmark bot
+(/root/reference/.github/workflows/benchmark.yml:12-22, AirspeedVelocity):
+the CI job runs this grid once on the merge-base checkout and once on the
+PR head ON THE SAME RUNNER, then compares — a PR that slows a headline op
+by more than the tolerance fails.
+
+Usage:
+    python benchmarks/regression.py --out results.json        # run grid
+    python benchmarks/regression.py --compare base.json pr.json [--tol 1.10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _grid(platform: str):
+    """(name, builder) pairs; sizes scale down on CPU runners."""
+    big = platform not in ("cpu",)
+    s2 = 8192 if big else 512
+    s1 = (1 << 20) if big else (1 << 14)
+    s3 = 128 if big else 32
+    return [
+        ("dwt2_cdf97_lifting_L6", dict(op="dwt", ndim=2, size=s2,
+                                       wavelet="cdf97", kind="lifting", L=6)),
+        ("idwt2_cdf97_lifting_L6", dict(op="idwt", ndim=2, size=s2,
+                                        wavelet="cdf97", kind="lifting", L=6)),
+        ("dwt2_db2_filter_L6", dict(op="dwt", ndim=2, size=s2,
+                                    wavelet="db2", kind="filter", L=6)),
+        ("dwt1_db2_lifting_L6", dict(op="dwt", ndim=1, size=s1,
+                                     wavelet="db2", kind="lifting", L=6)),
+        ("wpt_db4_filter_L5", dict(op="wpt", ndim=1, size=s1,
+                                   wavelet="db4", kind="filter", L=5)),
+        ("modwt_db4_L4", dict(op="modwt", ndim=1, size=s1,
+                              wavelet="db4", kind="filter", L=4)),
+        ("dwt3_haar_lifting_L3", dict(op="dwt", ndim=3, size=s3,
+                                      wavelet="haar", kind="lifting", L=3)),
+    ]
+
+
+def run_grid(out_path: str):
+    import os
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/wavelets_tpu_jax_cache")
+    import jax
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:
+        pass
+    import numpy as np
+    import wavelets_tpu as w
+    from wavelets_tpu.profiling import time_fn
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    results = {"_platform": platform}
+    for name, cfg in _grid(platform):
+        wt = w.wt.wavelet(w.wt.ALL_CLASSES[cfg["wavelet"]], cfg["kind"])
+        shape = (cfg["size"],) * cfg["ndim"]
+        x = jax.device_put(rng.standard_normal(shape).astype(np.float32))
+        L = cfg["L"]
+        if cfg["op"] == "dwt":
+            fn = lambda v: w.dwt(v, wt, L)
+        elif cfg["op"] == "idwt":
+            fn = lambda v: w.idwt(v, wt, L)
+        elif cfg["op"] == "wpt":
+            fn = lambda v: w.wpt(v, wt, L=L)
+        else:
+            fn = lambda v: w.modwt(v, wt, L)
+        iters = 10 if platform != "cpu" else 3
+        dt = time_fn(fn, x, iters=iters, chain=False)
+        results[name] = round(dt * 1e3, 4)
+        print(f"{name:28s} {dt*1e3:9.3f} ms", flush=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out_path}")
+
+
+def compare(base_path: str, pr_path: str, tol: float) -> int:
+    base = json.load(open(base_path))
+    pr = json.load(open(pr_path))
+    bad = []
+    for name, b in base.items():
+        if name.startswith("_") or name not in pr:
+            continue
+        p = pr[name]
+        ratio = p / b if b > 0 else 1.0
+        flag = "REGRESSION" if ratio > tol else "ok"
+        print(f"{name:28s} base {b:9.3f} ms  pr {p:9.3f} ms "
+              f"({ratio:5.2f}x)  {flag}")
+        if ratio > tol:
+            bad.append(name)
+    if bad:
+        print(f"FAIL: {len(bad)} benchmark(s) regressed beyond {tol:.2f}x: "
+              + ", ".join(bad))
+        return 1
+    print("benchmark comparison passed")
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out")
+    ap.add_argument("--compare", nargs=2, metavar=("BASE", "PR"))
+    ap.add_argument("--tol", type=float, default=1.10)
+    args = ap.parse_args()
+    if args.compare:
+        sys.exit(compare(args.compare[0], args.compare[1], args.tol))
+    run_grid(args.out or "bench_results.json")
+
+
+if __name__ == "__main__":
+    main()

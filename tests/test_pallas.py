@@ -139,3 +139,75 @@ def test_pallas_ok_gating():
     assert not P.pallas_ok((512, 512), scheme, 1, np.float64)  # dtype
     assert not P.pallas_ok((512,), scheme, 1, np.float32)      # rank
     assert P.pallas_ok((512, 512), scheme, 8, np.float32)
+
+
+@pytest.mark.parametrize("wname,kind", [
+    ("db2", "filter"), ("db4", "filter"),
+    ("cdf97", "lifting"), ("haar", "lifting"),
+])
+def test_pallas_wide_1d(wname, kind):
+    """Folded (n,) -> (R, C) wide single-signal kernels vs f64 engine."""
+    from wavelets_tpu.ops.pallas import wide1d as W1
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    rng = np.random.default_rng(77)
+    n = 1 << 15
+    x = rng.standard_normal(n).astype(np.float32)
+    assert W1.wide_ok(n, wt, 4, np.float32)
+    ref = np.asarray(w.dwt(x.astype(np.float64),
+                           w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind), 4))
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(W1.dwt1d_wide(jnp.asarray(x), wt, 4))
+        xr = np.asarray(W1.idwt1d_wide(jnp.asarray(y), wt, 4))
+    assert np.abs(y - ref).max() < 1e-4
+    assert np.abs(xr - x).max() < 1e-4
+
+
+def test_pallas_bf16_lifting(monkeypatch):
+    """bf16 kernels (int32-bitcast lane rolls) match the bf16 jnp engine
+    bit-for-bit in interpret mode."""
+    monkeypatch.setenv("WAVELETS_TPU_BF16", "1")
+    from wavelets_tpu.ops import lifting as L
+    scheme = w.wt.wavelet(w.wt.cdf97, "lifting")
+    rng = np.random.default_rng(78)
+    x = rng.standard_normal((256, 512)).astype(jnp.bfloat16)
+    assert P.pallas_ok(x.shape, scheme, 2, x.dtype)
+    jref = np.asarray(L.dwt_nd_lifting(jnp.asarray(x), scheme, 2, 2),
+                      np.float64)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(P.dwt2_lifting(jnp.asarray(x), scheme, 2), np.float64)
+    assert np.array_equal(y, jref)
+
+
+def test_pallas_bf16_filter(monkeypatch):
+    monkeypatch.setenv("WAVELETS_TPU_BF16", "1")
+    from wavelets_tpu.ops.pallas import filter2d as F
+    from wavelets_tpu.ops import filter_fb as FB
+    wt = w.wt.wavelet(w.wt.db2)
+    rng = np.random.default_rng(79)
+    x = rng.standard_normal((256, 512)).astype(jnp.bfloat16)
+    assert F.pallas_ok(x.shape, wt, 2, x.dtype)
+    h, g = FB.filter_pair(wt)
+    jref = np.asarray(FB.dwt_nd(jnp.asarray(x), h, g, 2, 2), np.float64)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(F.dwt2_filter(jnp.asarray(x), wt, 2), np.float64)
+    assert np.abs(y - jref).max() < 0.05  # taps cast differs; bf16-scale
+
+
+@pytest.mark.parametrize("wname,kind", [("db2", "filter"),
+                                        ("cdf97", "lifting")])
+def test_pallas_fused_inverse_1024(wname, kind):
+    """Single-pass fused inverse (36-ref packed-read windows) round-trips
+    at a size its tile plan accepts (needs >= 3 lane-halo granules)."""
+    from wavelets_tpu.ops.pallas import fused2d as F2
+    from wavelets_tpu.ops.pallas import filter2d as F, lifting2d as P
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    assert F2.fused_inv_ok(1024, 1024, wt, np.float32)
+    rng = np.random.default_rng(80)
+    x = rng.standard_normal((1024, 1024)).astype(np.float32)
+    mod = F if kind == "filter" else P
+    fw = mod.dwt2_filter if kind == "filter" else mod.dwt2_lifting
+    inv = mod.idwt2_filter if kind == "filter" else mod.idwt2_lifting
+    with pltpu.force_tpu_interpret_mode():
+        y = fw(jnp.asarray(x), wt, 2)
+        xr = np.asarray(inv(y, wt, 2))
+    assert np.abs(xr - x).max() < 1e-4

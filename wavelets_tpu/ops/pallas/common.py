@@ -15,18 +15,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["roll", "deint_lanes", "int_lanes", "halo_specs", "roundup",
-           "pick_col_tm", "pick_row_tm"]
+           "pick_col_tm", "pick_row_tm", "halo_granule", "dtype_ok"]
 
 
 def roundup(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def halo_granule(dtype) -> int:
+    """Minimum sublane-tile height: 8 for 4-byte types, 16 for 2-byte."""
+    import numpy as np
+    return 8 if np.dtype(dtype).itemsize == 4 else 16
+
+
+def dtype_ok(dtype) -> bool:
+    """Kernel dtype eligibility: float32 always; bfloat16 via the
+    bitcast-roll path (opt-in with WAVELETS_TPU_BF16=1 until the packed
+    sublane layout is validated on the target toolchain)."""
+    import os
+    import numpy as np
+    d = np.dtype(dtype)
+    if d == np.dtype(np.float32):
+        return True
+    if d == np.dtype(jnp.bfloat16):
+        return os.environ.get("WAVELETS_TPU_BF16") == "1"
+    return False
+
+
 def roll(v, sh: int, axis: int):
-    """Circular shift; lane axis uses the Mosaic-native pltpu.roll."""
+    """Circular shift; lane axis uses the Mosaic-native pltpu.roll.
+
+    This Mosaic rejects lane rotates of non-32-bit data ('Rotate with
+    non-32-bit data'), so 16-bit arrays are rolled through an int32 view:
+    Mosaic packs 2-byte types pairwise along the SUBLANE dimension, so
+    ``pltpu.bitcast(v, int32)`` is a (m/2, n) word view in which a lane
+    roll moves both packed halves together — exact for any shift."""
     if sh % v.shape[axis] == 0:
         return v
     if axis == v.ndim - 1:
+        if v.dtype.itemsize == 2:
+            w = pltpu.bitcast(v, jnp.int32)
+            w = pltpu.roll(w, sh % v.shape[axis], axis=w.ndim - 1)
+            return pltpu.bitcast(w, v.dtype)
         return pltpu.roll(v, sh % v.shape[axis], axis=axis)
     return jnp.roll(v, sh, axis=axis)
 

@@ -182,11 +182,10 @@ def _merge(s, d):
 
 
 def _level_ok(b: int, n: int, wt, dtype) -> bool:
-    if n % 512 or b % 8:
+    from .common import dtype_ok, halo_granule
+    if n % 512 or b % (2 * halo_granule(dtype)):
         return False
-    # this Mosaic lacks non-32-bit lane rotates ('Rotate with non-32-bit
-    # data'), so bfloat16 is excluded until the rolls get a 32-bit cast path
-    if np.dtype(dtype) != np.dtype(np.float32):
+    if not dtype_ok(dtype):   # bf16 via the int32-bitcast roll (common.roll)
         return False
     if _pick_tm(b, n, wt, np.dtype(dtype).itemsize) is None:
         return False

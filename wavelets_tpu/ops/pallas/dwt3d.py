@@ -31,13 +31,31 @@ def pallas_ok(shape, wt, L: int, dtype) -> bool:
     return _level_ok(shape, wt, dtype)
 
 
+def _fused2d_on(shape, wt, dtype) -> bool:
+    import os
+    if os.environ.get("WAVELETS_TPU_FUSED2D") == "0":
+        return False
+    from . import fused2d
+    dd, mm, nn = shape
+    return fused2d.fused_ok(mm, nn, wt, dtype)
+
+
 def _level_fw(active, wt):
     dd, mm, nn = active.shape
-    # axis 2 (rows)
-    z = dwt1d._level(active.reshape(dd * mm, nn), wt, fw=True)
-    z = z.reshape(dd, mm, nn)
-    # axis 1 (per-slab axis 0) — vmap over the leading axis
-    z = jax.vmap(lambda s: axis0.axis0_level_fw(s, wt))(z)
+    if _fused2d_on(active.shape, wt, active.dtype):
+        # rows+cols of every slab in ONE vmapped fused pass (~2.3 HBM
+        # passes instead of 4), then the plane axis
+        from . import fused2d
+        ll, lh, hl, hh = jax.vmap(
+            lambda s: fused2d.fused_level_fw_quads(s, wt))(active)
+        z = jnp.concatenate([jnp.concatenate([ll, lh], -1),
+                             jnp.concatenate([hl, hh], -1)], -2)
+    else:
+        # axis 2 (rows)
+        z = dwt1d._level(active.reshape(dd * mm, nn), wt, fw=True)
+        z = z.reshape(dd, mm, nn)
+        # axis 1 (per-slab axis 0) — vmap over the leading axis
+        z = jax.vmap(lambda s: axis0.axis0_level_fw(s, wt))(z)
     # axis 0
     z = axis0.axis0_level_fw(z.reshape(dd, mm * nn), wt)
     return z.reshape(dd, mm, nn)
@@ -47,9 +65,17 @@ def _level_inv(active, wt):
     dd, mm, nn = active.shape
     z = axis0.axis0_level_inv(active.reshape(dd, mm * nn), wt)
     z = z.reshape(dd, mm, nn)
-    z = jax.vmap(lambda s: axis0.axis0_level_inv(s, wt))(z)
-    z = dwt1d._level(z.reshape(dd * mm, nn), wt, fw=False)
-    return z.reshape(dd, mm, nn)
+    from . import fused2d
+    if _fused2d_on(active.shape, wt, active.dtype) and \
+            fused2d.fused_inv_ok(mm, nn, wt, active.dtype):
+        z = jax.vmap(
+            lambda s: fused2d.level_inv_packed(s, s[: mm // 2, : nn // 2],
+                                               (mm, nn), wt))(z)
+    else:
+        z = jax.vmap(lambda s: axis0.axis0_level_inv(s, wt))(z)
+        z = dwt1d._level(z.reshape(dd * mm, nn), wt, fw=False)
+        z = z.reshape(dd, mm, nn)
+    return z
 
 
 def _level_jnp(active, wt, fw: bool):

@@ -51,7 +51,8 @@ def _taps(wt: OrthoFilter, dtype):
 def _plan_level(m: int, n: int, flen: int, dtype):
     if n % 256 or m % 16:
         return None
-    halo = roundup(max(flen, 2), 8)        # covers both directions' reach
+    from .common import halo_granule
+    halo = roundup(max(flen, 2), halo_granule(dtype))  # both directions' reach
     tn = 256 if n % 512 else 512
     # The inverse row kernel keeps ~2*flen+4 live block temps on Mosaic's
     # VMEM stack (u/w plus a roll per tap per filter; db4 at 1 MB blocks
@@ -82,9 +83,8 @@ def _plan_level(m: int, n: int, flen: int, dtype):
 def pallas_ok(shape, wt: OrthoFilter, L: int, dtype) -> bool:
     if len(shape) != 2 or L < 1:
         return False
-    # this Mosaic lacks non-32-bit lane rotates ('Rotate with non-32-bit
-    # data'), so bfloat16 is excluded until the rolls get a 32-bit cast path
-    if np.dtype(dtype) != np.dtype(np.float32):
+    from .common import dtype_ok
+    if not dtype_ok(dtype):   # bf16 via the int32-bitcast roll (common.roll)
         return False
     m, n = shape
     return _plan_level(m, n, len(wt.qmf), dtype) is not None
@@ -254,6 +254,13 @@ def _level2_jnp(active, wt: OrthoFilter, fw: bool):
 
 def _level_fw_quads(active, wt: OrthoFilter):
     m, n = active.shape
+    # Single-pass fused level kernel (fused2d.py): ~2.3 HBM passes per
+    # level vs this pipeline's ~4.  Opt out with WAVELETS_TPU_FUSED2D=0.
+    import os
+    if os.environ.get("WAVELETS_TPU_FUSED2D") != "0":
+        from .fused2d import fused_ok, fused_level_fw_quads
+        if fused_ok(m, n, wt, active.dtype):
+            return fused_level_fw_quads(active, wt)
     plan = _plan_level(m, n, len(wt.qmf), active.dtype)
     if plan is None:
         out = _level2_jnp(active, wt, fw=True)
@@ -267,6 +274,11 @@ def _level_fw_quads(active, wt: OrthoFilter):
 def _level_inv_quads(ll, lh, hl, hh, wt: OrthoFilter):
     mh, nh = ll.shape
     m, n = 2 * mh, 2 * nh
+    import os
+    if os.environ.get("WAVELETS_TPU_FUSED2D") != "0":
+        from .fused2d import fused_inv_ok, fused_level_inv_quads
+        if fused_inv_ok(m, n, wt, ll.dtype):
+            return fused_level_inv_quads(ll, lh, hl, hh, wt)
     plan = _plan_level(m, n, len(wt.qmf), ll.dtype)
     if plan is None:
         packed = jnp.concatenate([
@@ -278,10 +290,7 @@ def _level_inv_quads(ll, lh, hl, hh, wt: OrthoFilter):
     return _rows(col, wt, tm_row_inv, fw=False)
 
 
-def dwt2_filter(x, wt: OrthoFilter, L: int):
-    """Multi-level forward 2-D filter-bank DWT, packed layout (Pallas)."""
-    if L == 0:
-        return x
+def _dwt2_quads(x, wt: OrthoFilter, L: int):
     ll = x
     details = []
     for _ in range(L):
@@ -295,14 +304,52 @@ def dwt2_filter(x, wt: OrthoFilter, L: int):
     return y
 
 
+def _dwt2_packed(x, wt: OrthoFilter, L: int):
+    """Packed-mode driver (see lifting2d._dwt2_packed): detail quadrants
+    stream straight into the alias-chained full-size buffer."""
+    from .fused2d import packed_ok, level_fw_packed, level_fw_packed_first
+    m, n = x.shape
+    ll, y, done = x, None, 0
+    for l in range(L):
+        if not packed_ok(m >> l, n >> l, wt, x.dtype):
+            break
+        ll, y = (level_fw_packed_first(ll, wt) if y is None
+                 else level_fw_packed(ll, y, wt))
+        done += 1
+    if y is None:
+        return None
+    if done < L:
+        ll = _dwt2_quads(ll, wt, L - done)   # small tail levels
+    return jax.lax.dynamic_update_slice(y, ll, (0, 0))
+
+
+def dwt2_filter(x, wt: OrthoFilter, L: int):
+    """Multi-level forward 2-D filter-bank DWT, packed layout (Pallas)."""
+    if L == 0:
+        return x
+    import os
+    if os.environ.get("WAVELETS_TPU_PACKED2D") == "1":
+        y = _dwt2_packed(x, wt, L)
+        if y is not None:
+            return y
+    return _dwt2_quads(x, wt, L)
+
+
 def idwt2_filter(y, wt: OrthoFilter, L: int):
-    """Inverse of dwt2_filter."""
+    """Inverse of dwt2_filter (packed-read fused levels where eligible —
+    see lifting2d.idwt2_lifting)."""
     if L == 0:
         return y
+    import os
+    fused = os.environ.get("WAVELETS_TPU_FUSED2D") != "0"
+    from .fused2d import fused_inv_ok, level_inv_packed
     m, n = y.shape
     ll = y[: m >> L, : n >> L]
     for l in range(L, 0, -1):
         mh, nh = m >> l, n >> l
+        if fused and fused_inv_ok(2 * mh, 2 * nh, wt, y.dtype):
+            ll = level_inv_packed(y, ll, (2 * mh, 2 * nh), wt)
+            continue
         lh = y[:mh, nh: 2 * nh]
         hl = y[mh: 2 * mh, :nh]
         hh = y[mh: 2 * mh, nh: 2 * nh]

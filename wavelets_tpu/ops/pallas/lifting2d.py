@@ -122,8 +122,9 @@ def _plan_level(m: int, n: int, scheme: GLS, dtype):
     """Tile plan (tm_row, tm_col, tm_col_inv, halo, tn) or None."""
     if n % 256 or m % 16:
         return None
+    from .common import halo_granule
     reach = scheme_reach(scheme)
-    halo = _roundup(2 * reach, 8)
+    halo = _roundup(2 * reach, halo_granule(dtype))
     tn = 512 if n % 512 == 0 else 256
 
     bpr = 2 * n * np.dtype(dtype).itemsize
@@ -146,9 +147,8 @@ def pallas_ok(shape, scheme: GLS, L: int, dtype) -> bool:
     tail levels fall back to the jnp path per level)."""
     if len(shape) != 2 or L < 1:
         return False
-    # this Mosaic lacks non-32-bit lane rotates ('Rotate with non-32-bit
-    # data'), so bfloat16 is excluded until the rolls get a 32-bit cast path
-    if np.dtype(dtype) != np.dtype(np.float32):
+    from .common import dtype_ok
+    if not dtype_ok(dtype):   # bf16 via the int32-bitcast roll (common.roll)
         return False
     m, n = shape
     return _plan_level(m, n, scheme, dtype) is not None
@@ -324,6 +324,11 @@ def _level_inv_quads(ll, lh, hl, hh, scheme: GLS):
     """One inverse level: quadrants -> merged active array."""
     mh, nh = ll.shape
     m, n = 2 * mh, 2 * nh
+    import os
+    if os.environ.get("WAVELETS_TPU_FUSED2D") != "0":
+        from .fused2d import fused_inv_ok, fused_level_inv_quads
+        if fused_inv_ok(m, n, scheme, ll.dtype):
+            return fused_level_inv_quads(ll, lh, hl, hh, scheme)
     plan = _plan_level(m, n, scheme, ll.dtype)
     if plan is None:
         packed = jnp.concatenate([
@@ -402,13 +407,24 @@ def dwt2_lifting(x, scheme: GLS, L: int):
 
 
 def idwt2_lifting(y, scheme: GLS, L: int):
-    """Inverse of dwt2_lifting (slice pass up front, then fused levels)."""
+    """Inverse of dwt2_lifting.
+
+    Eligible levels read their detail quadrants DIRECTLY from the packed
+    array through offset halo windows (fused2d.level_inv_packed) — no
+    quadrant slice materialization; others slice + go through the
+    two-kernel/jnp inverse."""
     if L == 0:
         return y
+    import os
+    fused = os.environ.get("WAVELETS_TPU_FUSED2D") != "0"
+    from .fused2d import fused_inv_ok, level_inv_packed
     m, n = y.shape
     ll = y[: m >> L, : n >> L]
     for l in range(L, 0, -1):
         mh, nh = m >> l, n >> l
+        if fused and fused_inv_ok(2 * mh, 2 * nh, scheme, y.dtype):
+            ll = level_inv_packed(y, ll, (2 * mh, 2 * nh), scheme)
+            continue
         lh = y[:mh, nh: 2 * nh]
         hl = y[mh: 2 * mh, :nh]
         hh = y[mh: 2 * mh, nh: 2 * nh]

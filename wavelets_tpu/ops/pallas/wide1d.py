@@ -1,0 +1,245 @@
+"""Wide single-signal 1-D transforms: the (n,) -> (R, C) row-major fold.
+
+A single 1-D signal of length n >= ~2^17 cannot run through the batched
+row kernels (dwt1d.py): one full row of n lanes blows the VMEM live-set
+budget.  Fold it row-major into an (R, C) matrix instead — sample i lives
+at (i // C, i % C) — and the 1-D neighbour relation becomes "lane shift
+with row carry": the left context of row r is the tail of row r-1, i.e. a
+SUBLANE roll by one, and the periodic boundary is the usual ring of row
+blocks.  Each tile therefore reads (8, C) ring halos above and below,
+builds the lane-extended working tile in VMEM
+
+    [ roll(+1 row)[:, C-h:]  |  rows  |  roll(-1 row)[:, :h] ]
+
+and runs the same interleaved lane chain + block butterfly as the batched
+kernels.  C is even, so every row starts at an even global index and the
+lane parity masks align with global sample parity.  The outputs are the
+scaling and detail bands as (R, C/2) arrays whose row-major ravel IS the
+contiguous band — no assembly gathers.
+
+Levels recurse on the scaling band with a per-level fold width; tiny tail
+levels fall back to the jnp path.  Reference semantics:
+src/Transforms/transforms_filter.jl:13-83 /
+transforms_lifting.jl:30-122; the fold is this framework's own device
+mapping (ROADMAP r1 item 2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...wt.carriers import OrthoFilter, GLS
+from ...wt.schemes import PREDICT
+from ..filter_fb import filter_pair
+from .common import roll, deint_lanes, int_lanes, roundup
+from .dwt1d import _lift_interleaved, _level_jnp
+
+__all__ = ["dwt1d_wide", "idwt1d_wide", "wide_ok"]
+
+_HALO = 8  # sublane halo granule (min f32 tile height)
+
+
+def _lane_reach(wt) -> int:
+    """Lane contamination of the interleaved chain (both directions)."""
+    if isinstance(wt, OrthoFilter):
+        return len(wt.qmf) + 1
+    r = 0
+    for st in wt.steps:
+        pred = st.kind == PREDICT
+        offs = [abs(2 * (k - st.shift) + (1 if pred else -1))
+                for k in range(len(st.coef))]
+        r += max(offs) if offs else 0
+    return max(r, 2)
+
+
+def _filter_interleaved(v, wt: OrthoFilter, fw: bool):
+    """Interleaved-lane filter chain (math of dwt1d's step kernels)."""
+    h, g = filter_pair(wt)
+    dt = v.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    even = (lane % 2) == 0
+    if fw:
+        za = None
+        zd = None
+        for m_ in range(len(h)):
+            ta = jnp.asarray(h[m_], dt) * roll(v, -m_, v.ndim - 1)
+            td = jnp.asarray(g[m_], dt) * roll(v, m_, v.ndim - 1)
+            za = ta if za is None else za + ta
+            zd = td if zd is None else zd + td
+        return jnp.where(even, za, zd)
+    u = jnp.where(even, v, 0)
+    w_ = jnp.where(even, roll(v, -1, v.ndim - 1), 0)
+    x = None
+    for m_ in range(len(h)):
+        ts = jnp.asarray(h[m_], dt) * roll(u, m_, v.ndim - 1)
+        td = jnp.asarray(g[m_], dt) * roll(w_, 1 - m_, v.ndim - 1)
+        t = ts + td
+        x = t if x is None else x + t
+    return x
+
+
+def _chain(v, wt, fw: bool):
+    if isinstance(wt, GLS):
+        if fw:
+            v, even = _lift_interleaved(v, wt, fw=True)
+            return v * jnp.where(even, jnp.asarray(wt.norm1, v.dtype),
+                                 jnp.asarray(wt.norm2, v.dtype))
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+        even = (lane % 2) == 0
+        v = v * jnp.where(even, jnp.asarray(1.0 / wt.norm1, v.dtype),
+                          jnp.asarray(1.0 / wt.norm2, v.dtype))
+        v, _ = _lift_interleaved(v, wt, fw=False)
+        return v
+    return _filter_interleaved(v, wt, fw)
+
+
+def _lane_extend(ext_rows, h: int):
+    """Lane-extend every row with its 1-D neighbours: the left margin is
+    the tail of the row above (sublane roll +1), the right margin the head
+    of the row below."""
+    up = jnp.roll(ext_rows, 1, axis=0)
+    down = jnp.roll(ext_rows, -1, axis=0)
+    C = ext_rows.shape[1]
+    return jnp.concatenate([up[:, C - h:], ext_rows, down[:, :h]], axis=1)
+
+
+def _fw_kernel(top, mid, bot, s_ref, d_ref, *, wt, h):
+    ext = jnp.concatenate([top[:], mid[:], bot[:]], axis=0)
+    v = _lane_extend(ext, h)
+    # parity: h is even, so the margin preserves the even/odd lane masks
+    v = _chain(v, wt, fw=True)
+    C = ext.shape[1]
+    v = v[:, h: h + C]
+    tm = mid.shape[0]
+    u = deint_lanes(v[_HALO: _HALO + tm])
+    half = C // 2
+    s_ref[:] = u[:, :half]
+    d_ref[:] = u[:, half:]
+
+
+def _inv_kernel(st_, sc_, sb_, dt_, dc_, db_, o_ref, *, wt, h):
+    s = jnp.concatenate([st_[:], sc_[:], sb_[:]], axis=0)
+    d = jnp.concatenate([dt_[:], dc_[:], db_[:]], axis=0)
+    z = int_lanes(jnp.concatenate([s, d], axis=-1))  # interleaved rows
+    v = _lane_extend(z, h)
+    v = _chain(v, wt, fw=False)
+    C = z.shape[1]
+    v = v[:, h: h + C]
+    tm = o_ref.shape[0]
+    o_ref[:] = v[_HALO: _HALO + tm]
+
+
+def _fold(n: int, wt, dtype) -> tuple[int, int, int] | None:
+    """(R, C, tm) fold plan for a length-n signal, or None."""
+    if np.dtype(dtype) != np.dtype(np.float32):
+        return None
+    h = roundup(_lane_reach(wt), 2)
+    for C in (2048, 1024, 512):
+        if n % C or h > C // 2:
+            continue
+        R = n // C
+        if R % (2 * _HALO):
+            continue
+        live = (2 * (len(wt.qmf) if isinstance(wt, OrthoFilter) else 8)
+                + 12)
+        budget_rows = max(_HALO, ((12 << 20) // 4 // live) // (C + 2 * h))
+        tm = _HALO
+        while tm * 2 <= min(256, budget_rows) and R % (tm * 2) == 0:
+            tm *= 2
+        if R // _HALO >= 3 and R % tm == 0:
+            return R, C, tm
+    return None
+
+
+def wide_ok(n: int, wt, L: int, dtype) -> bool:
+    return L >= 1 and _fold(n, wt, dtype) is not None
+
+
+def _level_wide(x, wt, fw: bool):
+    """One level on a flat (n,) signal via the folded kernels.  ``x`` is
+    the flat signal (forward) or the (s, d) band pair (inverse)."""
+    n = x.shape[0] if fw else 2 * x[0].shape[0]
+    plan = _fold(n, wt, (x if fw else x[0]).dtype)
+    R, C, tm = plan
+    h = roundup(_lane_reach(wt), 2)
+    nb = R // _HALO
+    step = tm // _HALO
+    hspec = [
+        pl.BlockSpec((_HALO, C), lambda i: ((i * step - 1) % nb,),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, C), lambda i: (i,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_HALO, C), lambda i: (((i + 1) * step) % nb,),
+                     memory_space=pltpu.VMEM),
+    ]
+    if fw:
+        half_spec = pl.BlockSpec((tm, C // 2), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        hs = [pl.BlockSpec(bs.block_shape, lambda i, im=bs.index_map:
+                           im(i) + (0,), memory_space=pltpu.VMEM)
+              for bs in hspec]
+        folded = x.reshape(R, C)
+        s, d = pl.pallas_call(
+            partial(_fw_kernel, wt=wt, h=h),
+            grid=(R // tm,),
+            in_specs=hs,
+            out_specs=(half_spec, half_spec),
+            out_shape=(jax.ShapeDtypeStruct((R, C // 2), x.dtype),
+                       jax.ShapeDtypeStruct((R, C // 2), x.dtype)),
+        )(folded, folded, folded)
+        return s.reshape(-1), d.reshape(-1)
+    s, d = x
+    sh = s.reshape(R, C // 2)
+    dh = d.reshape(R, C // 2)
+    hs = [pl.BlockSpec((bs.block_shape[0], C // 2),
+                       lambda i, im=bs.index_map: im(i) + (0,),
+                       memory_space=pltpu.VMEM)
+          for bs in hspec]
+    out = pl.pallas_call(
+        partial(_inv_kernel, wt=wt, h=h),
+        grid=(R // tm,),
+        in_specs=hs + hs,
+        out_specs=pl.BlockSpec((tm, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, C), x[0].dtype),
+    )(sh, sh, sh, dh, dh, dh)
+    return out.reshape(-1)
+
+
+def dwt1d_wide(x, wt, L: int):
+    """Multi-level 1-D DWT of a single flat signal, packed layout."""
+    if L == 0:
+        return x
+    n = x.shape[0]
+    s = x
+    details = []
+    for l in range(L):
+        ns = n >> l
+        if _fold(ns, wt, x.dtype) is not None:
+            s, d = _level_wide(s, wt, fw=True)
+        else:
+            z = _level_jnp(s.reshape(1, ns), wt, fw=True).reshape(ns)
+            s, d = z[: ns // 2], z[ns // 2:]
+        details.append(d)
+    return jnp.concatenate([s] + details[::-1])
+
+
+def idwt1d_wide(y, wt, L: int):
+    if L == 0:
+        return y
+    n = y.shape[0]
+    s = y[: n >> L]
+    for l in range(L, 0, -1):
+        ns = n >> (l - 1)
+        d = y[ns // 2: ns]
+        if _fold(ns, wt, y.dtype) is not None:
+            s = _level_wide((s, d), wt, fw=False)
+        else:
+            z = jnp.concatenate([s, d]).reshape(1, ns)
+            s = _level_jnp(z, wt, fw=False).reshape(ns)
+    return s

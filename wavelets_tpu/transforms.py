@@ -97,6 +97,15 @@ def _use_pallas_1d(x, wt, L) -> bool:
     return pallas_ok(x.shape, wt, L, x.dtype)
 
 
+def _use_pallas_wide1d(x, wt, L) -> bool:
+    """Single flat signal too wide for the batched row kernels: the
+    (n,) -> (R, C) folded kernels (ops/pallas/wide1d.py)."""
+    if not _pallas_enabled() or x.ndim != 1:
+        return False
+    from .ops.pallas.wide1d import wide_ok
+    return wide_ok(x.shape[0], wt, L, x.dtype)
+
+
 def _use_pallas_3d(x, wt, L) -> bool:
     if not _pallas_enabled():
         return False
@@ -121,6 +130,9 @@ def _dwt_impl(x, wt, L, ndt, fw):
     if ndt == 1 and _use_pallas_1d(x, wt, L):
         from .ops.pallas.dwt1d import dwt1d_pallas, idwt1d_pallas
         return dwt1d_pallas(x, wt, L) if fw else idwt1d_pallas(x, wt, L)
+    if ndt == 1 and _use_pallas_wide1d(x, wt, L):
+        from .ops.pallas.wide1d import dwt1d_wide, idwt1d_wide
+        return dwt1d_wide(x, wt, L) if fw else idwt1d_wide(x, wt, L)
     if ndt == 3 and x.ndim == 3 and _use_pallas_3d(x, wt, L):
         from .ops.pallas.dwt3d import dwt3_pallas, idwt3_pallas
         return dwt3_pallas(x, wt, L) if fw else idwt3_pallas(x, wt, L)
