@@ -42,17 +42,19 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..utils.indexing import maxtransformlevels
-from ..utils.trees import maketree, isvalidtree
+from ..utils.trees import maketree, isvalidtree, treedepth
 from ..threshold.entropy import (Entropy, ShannonEntropy, _coef_terms,
                                  prune_tree)
 from ..threshold.denoise import VisuShrink, DEFAULT_WAVELET
 from ..threshold.ops import threshold as _threshold
 from ..ops.pallas.dwt1d import _level_jnp
-from ..wt.carriers import DiscreteWavelet
+from ..ops import modwt as modwt_ops
+from ..wt.carriers import DiscreteWavelet, OrthoFilter
 from . import sharded
 from .sharded import make_mesh
 
-__all__ = ["bestbasistree", "noisest", "denoise"]
+__all__ = ["bestbasistree", "noisest", "denoise", "wpt", "iwpt",
+           "modwt", "imodwt"]
 
 
 def _seg_entropies(x, et: Entropy, nrm, nseg: int, mesh: Mesh,
@@ -204,3 +206,176 @@ def denoise(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, *,
                 z = jnp.roll(z, -s, axis=ax)
         acc = acc + z
     return acc / len(shifts)
+
+
+# --- sharded wavelet packets -------------------------------------------------
+
+def _wpt_sharded(x, wt, tree, mesh: Mesh, axis_name: str, fw: bool):
+    n = x.shape[-1]
+    nd = mesh.shape[axis_name]
+    tree = np.asarray(tree, dtype=bool)
+    if not isvalidtree(n, tree):
+        raise ValueError("invalid tree")
+    if not tree[0]:
+        return x
+    Lmax = treedepth(tree)
+    depths = range(Lmax) if fw else range(Lmax - 1, -1, -1)
+    y = x
+    for d in depths:
+        nseg = 2 ** d
+        nj = n // nseg
+        flags = tree[nseg - 1: 2 * nseg - 1]
+        if not flags.any():
+            continue
+        segs = y.reshape(nseg, nj)
+        # deep (segment-local) depths stay shard-local; shallow depths'
+        # cross-shard stencils become ring collectives under GSPMD
+        spec = P(axis_name, None) if nseg >= nd else P(None, axis_name)
+        segs = lax.with_sharding_constraint(segs, NamedSharding(mesh, spec))
+        out = _level_jnp(segs, wt, fw=fw)
+        if not flags.all():
+            out = jnp.where(jnp.asarray(flags)[:, None], out, segs)
+        y = out.reshape(n)
+        y = lax.with_sharding_constraint(y, NamedSharding(mesh, P(axis_name)))
+    return y
+
+
+def wpt(x, wt: DiscreteWavelet, tree=None, L: int | None = None,
+        mesh: Mesh | None = None, axis_name: str = "x"):
+    """Sharded wavelet packet transform of a mesh-sharded 1-D signal.
+
+    Shallow depths (segments spanning shards) run under GSPMD with ring
+    collectives; deep depths are shard-local.  Matches ``wpt`` exactly.
+    """
+    if mesh is None:
+        mesh = make_mesh(axis=axis_name)
+    x = jnp.asarray(x)
+    if tree is None:
+        L = maxtransformlevels(x.shape[-1]) if L is None else int(L)
+        tree = maketree(x.shape[-1], L, "full")
+    return _wpt_sharded(x, wt, tree, mesh, axis_name, fw=True)
+
+
+def iwpt(y, wt: DiscreteWavelet, tree=None, L: int | None = None,
+         mesh: Mesh | None = None, axis_name: str = "x"):
+    """Inverse of :func:`wpt`."""
+    if mesh is None:
+        mesh = make_mesh(axis=axis_name)
+    y = jnp.asarray(y)
+    if tree is None:
+        L = maxtransformlevels(y.shape[-1]) if L is None else int(L)
+        tree = maketree(y.shape[-1], L, "full")
+    return _wpt_sharded(y, wt, tree, mesh, axis_name, fw=False)
+
+
+# --- sharded MODWT -----------------------------------------------------------
+
+def _modwt_level_body(v, taps_list, dil: int, sign: int, axis: str,
+                      nd: int, N: int):
+    """One dilated periodic correlation per taps vector, on the local
+    chunk with explicit halo handling.
+
+    MODWT's halo GROWS with level (2^(j-1) * (flen-1), SURVEY §5): while
+    it fits in one neighbor chunk the wrap is a single ppermute; beyond
+    that the undecimated band is all-gathered and the local slice
+    computed from the replicated array (the SURVEY-prescribed switch)."""
+    loc = v.shape[0]
+    flen = max(len(t) for t in taps_list)
+    h_need = (flen - 1) * dil
+
+    if h_need < loc:
+        if sign < 0:     # reads v[t - k*dil]: halo from the PREV device
+            perm = [(jd, (jd + 1) % nd) for jd in range(nd)]
+            halo = lax.ppermute(v[loc - h_need:], axis, perm=perm)
+            ext = jnp.concatenate([halo, v], axis=0)
+            off = h_need
+        else:            # reads v[t + k*dil]: halo from the NEXT device
+            perm = [(jd, (jd - 1) % nd) for jd in range(nd)]
+            halo = lax.ppermute(v[:h_need], axis, perm=perm)
+            ext = jnp.concatenate([v, halo], axis=0)
+            off = 0
+        outs = []
+        for taps in taps_list:
+            acc = None
+            for k, c in enumerate(taps):
+                start = off - k * dil if sign < 0 else off + k * dil
+                sl = lax.slice_in_dim(ext, start, start + loc, 1, axis=0)
+                t = jnp.asarray(c, v.dtype) * sl
+                acc = t if acc is None else acc + t
+            outs.append(acc)
+        return outs
+
+    # deep level: halo spans devices -> all-gather and compute the local
+    # window from the replicated band
+    vfull = lax.all_gather(v, axis, tiled=True)          # (N,)
+    j0 = lax.axis_index(axis) * loc
+    outs = []
+    for taps in taps_list:
+        acc = None
+        for k, c in enumerate(taps):
+            rolled = jnp.roll(vfull, k * dil if sign < 0 else -k * dil, axis=0)
+            t = jnp.asarray(c, v.dtype) * rolled
+            acc = t if acc is None else acc + t
+        outs.append(lax.dynamic_slice_in_dim(acc, j0, loc))
+    return outs
+
+
+def modwt(x, wt: OrthoFilter, L: int | None = None,
+          mesh: Mesh | None = None, axis_name: str = "x"):
+    """Sharded MODWT of a mesh-sharded 1-D signal -> (N, L+1) sharded on
+    its first axis.  Matches ``modwt`` (same layout, transforms_maximal_
+    overlap.jl semantics)."""
+    if mesh is None:
+        mesh = make_mesh(axis=axis_name)
+    x = jnp.asarray(x)
+    N = x.shape[0]
+    nd = mesh.shape[axis_name]
+    if L is None:
+        from ..utils.indexing import maxmodwttransformlevels
+        L = maxmodwttransformlevels(N)
+    L = int(L)
+    g, h = modwt_ops.modwt_filter_pair(wt)
+
+    def level(v, j):
+        def body(vl):
+            w1, v1 = _modwt_level_body(vl, [h, g], 2 ** (j - 1), -1,
+                                       axis_name, nd, N)
+            return v1, w1
+        return shard_map(body, mesh=mesh, in_specs=(P(axis_name),),
+                         out_specs=(P(axis_name), P(axis_name)))(v)
+
+    v = x
+    cols = []
+    for j in range(1, L + 1):
+        v, w = level(v, j)
+        cols.append(w)
+    cols.append(v)
+    return jnp.stack(cols, axis=-1)
+
+
+def imodwt(xw, wt: OrthoFilter, mesh: Mesh | None = None,
+           axis_name: str = "x"):
+    """Inverse of :func:`modwt` for a sharded (N, L+1) array."""
+    if mesh is None:
+        mesh = make_mesh(axis=axis_name)
+    xw = jnp.asarray(xw)
+    N = xw.shape[0]
+    nd = mesh.shape[axis_name]
+    L = xw.shape[-1] - 1
+    g, h = modwt_ops.modwt_filter_pair(wt)
+
+    def level(v, w, j):
+        def body(vl, wl):
+            (tw,) = _modwt_level_body(wl, [h], 2 ** (j - 1), +1,
+                                      axis_name, nd, N)
+            (tv,) = _modwt_level_body(vl, [g], 2 ** (j - 1), +1,
+                                      axis_name, nd, N)
+            return tw + tv
+        return shard_map(body, mesh=mesh,
+                         in_specs=(P(axis_name), P(axis_name)),
+                         out_specs=P(axis_name))(v, w)
+
+    v = xw[:, L]
+    for j in range(L, 0, -1):
+        v = level(v, xw[:, j - 1], j)
+    return v
