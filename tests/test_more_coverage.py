@@ -71,3 +71,45 @@ def test_threshold_complex():
     ys = np.asarray(w.threshold(xc, w.SoftTH(), 1.0))
     # soft shrinks magnitude by t, preserving phase (sign() for complex)
     assert abs(abs(ys[0]) - 4.0) < 1e-12
+
+
+def test_donate_variants_match():
+    """donate=True (the reference's in-place surface) returns identical
+    results; the donated buffer is consumed."""
+    import jax
+    import wavelets_tpu as w
+    rng = np.random.default_rng(55)
+    x = rng.standard_normal(256)
+    wt = w.wt.wavelet(w.wt.db2)
+    y0 = np.asarray(w.dwt(jnp.asarray(x), wt, 3))
+    xd = jnp.asarray(x)
+    y1 = np.asarray(w.dwt(xd, wt, 3, donate=True))
+    assert np.array_equal(y0, y1)
+    tree = w.maketree(256, 3, "full")
+    z0 = np.asarray(w.wpt(jnp.asarray(x), wt, tree))
+    z1 = np.asarray(w.wpt(jnp.asarray(x), wt, tree, donate=True))
+    assert np.array_equal(z0, z1)
+    m0 = np.asarray(w.modwt(jnp.asarray(x), wt, 4))
+    m1 = np.asarray(w.modwt(jnp.asarray(x), wt, 4, donate=True))
+    assert np.array_equal(m0, m1)
+
+
+def test_ti_spin_chunk_equivalence():
+    import wavelets_tpu as w
+    rng = np.random.default_rng(56)
+    x = w.testfunction(128, "Bumps") + 0.1 * rng.standard_normal(128)
+    a = np.asarray(w.denoise(jnp.asarray(x), TI=True, spin_chunk=2))
+    b = np.asarray(w.denoise(jnp.asarray(x), TI=True, spin_chunk=8))
+    c = np.asarray(w.denoise(jnp.asarray(x), TI=True, spin_chunk=1000))
+    assert np.abs(a - b).max() < 1e-10
+    assert np.abs(a - c).max() < 1e-10
+
+
+def test_split_merge_exports():
+    import wavelets_tpu as w
+    rng = np.random.default_rng(57)
+    x = rng.standard_normal(64)
+    s, d = w.split_last(jnp.asarray(x))
+    assert np.array_equal(np.asarray(s), x[0::2])
+    assert np.array_equal(np.asarray(d), x[1::2])
+    assert np.array_equal(np.asarray(w.merge_last(s, d)), x)

@@ -72,10 +72,29 @@ def _quarter_swap(v, B: int, lane):
     return jnp.where(second, fwd, jnp.where(third, bwd, v))
 
 
-def deint_lanes(v):
+def _deint_chunk() -> int:
+    import os
+    return int(os.environ.get("WAVELETS_TPU_DEINT_CHUNK", "0"))
+
+
+def deint_lanes(v, chunk: int | None = None):
     """Perfect lane unshuffle [s0 d0 s1 d1 ...] -> [s... | d...] in
-    log2(W)-1 roll+mask stages (the only lane permutation Mosaic takes)."""
+    log2(W)-1 roll+mask stages (the only lane permutation Mosaic takes).
+
+    With ``chunk`` (or WAVELETS_TPU_DEINT_CHUNK), wide tiles unshuffle
+    chunk-locally and re-concatenate — fewer butterfly stages (log2 chunk
+    instead of log2 W) at the cost of 2 extra VMEM copies; block-local
+    unshuffles compose to the global one because chunks tile in order."""
     W = v.shape[-1]
+    if chunk is None:
+        chunk = _deint_chunk()
+    if chunk and W > chunk:
+        nc = W // chunk
+        parts = [deint_lanes(v[..., i * chunk:(i + 1) * chunk], chunk)
+                 for i in range(nc)]
+        half = chunk // 2
+        return jnp.concatenate([p[..., :half] for p in parts]
+                               + [p[..., half:] for p in parts], axis=-1)
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
     B = 4
     while B <= W:
@@ -84,9 +103,20 @@ def deint_lanes(v):
     return v
 
 
-def int_lanes(v):
+def int_lanes(v, chunk: int | None = None):
     """Perfect lane shuffle [s... | d...] -> [s0 d0 s1 d1 ...]."""
     W = v.shape[-1]
+    if chunk is None:
+        chunk = _deint_chunk()
+    if chunk and W > chunk:
+        nc = W // chunk
+        half = chunk // 2
+        s, d = v[..., : W // 2], v[..., W // 2:]
+        parts = [int_lanes(jnp.concatenate(
+            [s[..., i * half:(i + 1) * half],
+             d[..., i * half:(i + 1) * half]], axis=-1), chunk)
+            for i in range(nc)]
+        return jnp.concatenate(parts, axis=-1)
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
     B = W
     while B >= 4:
