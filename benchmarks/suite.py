@@ -47,7 +47,15 @@ def main():
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
+    import os
     import jax
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/wavelets_tpu_jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import wavelets_tpu as w
     from wavelets_tpu.transforms import _dwt_jit, _wpt_jit, _modwt_jit, \

@@ -211,3 +211,28 @@ def test_pallas_fused_inverse_1024(wname, kind):
         y = fw(jnp.asarray(x), wt, 2)
         xr = np.asarray(inv(y, wt, 2))
     assert np.abs(xr - x).max() < 1e-4
+
+
+@pytest.mark.parametrize("wname,kind", [("db2", "filter"),
+                                        ("cdf97", "lifting")])
+def test_axis0_ext_halo_kernels(wname, kind):
+    """Explicit-halo axis-0 kernels (the sharded path's per-device level)
+    equal the ring-wrapped kernels when fed the periodic wrap rows."""
+    from wavelets_tpu.ops.pallas import axis0 as A0
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    halo = A0._halo_of(wt)
+    rng = np.random.default_rng(81)
+    x = rng.standard_normal((128, 512)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(A0.axis0_level_fw(jnp.asarray(x), wt))
+        got = np.asarray(A0.axis0_level_fw_ext(
+            jnp.asarray(x[-halo:]), jnp.asarray(x), jnp.asarray(x[:halo]), wt))
+    assert np.array_equal(ref, got)
+    a, d = ref[:64], ref[64:]
+    with pltpu.force_tpu_interpret_mode():
+        refi = np.asarray(A0.axis0_level_inv(jnp.asarray(ref), wt))
+        goti = np.asarray(A0.axis0_level_inv_ext(
+            (jnp.asarray(a[-halo:]), jnp.asarray(a[:halo])), jnp.asarray(a),
+            (jnp.asarray(d[-halo:]), jnp.asarray(d[:halo])), jnp.asarray(d),
+            wt))
+    assert np.array_equal(refi, goti)

@@ -27,7 +27,8 @@ from ...wt.schemes import PREDICT
 from ..filter_fb import filter_pair
 from .common import roll, roundup, pick_col_tm
 
-__all__ = ["axis0_level_fw", "axis0_level_inv", "axis0_ok"]
+__all__ = ["axis0_level_fw", "axis0_level_inv", "axis0_ok",
+           "axis0_level_fw_ext", "axis0_level_inv_ext", "axis0_ext_ok"]
 
 
 def _reach(wt) -> int:
@@ -62,32 +63,8 @@ def _steps_halves(s, d, scheme: GLS, fw: bool):
 
 
 def _fw_kernel(top_ref, mid_ref, bot_ref, o_ref, *, wt, halo):
-    ext = jnp.concatenate([top_ref[:], mid_ref[:], bot_ref[:]], axis=0)
-    rows, tn = ext.shape
-    r = ext.reshape(rows // 2, 2, tn)
-    e0, e1 = r[:, 0, :], r[:, 1, :]
-    dt = ext.dtype
-    if isinstance(wt, GLS):
-        a, d = _steps_halves(e0, e1, wt, fw=True)
-        a = a * jnp.asarray(wt.norm1, dt)
-        d = d * jnp.asarray(wt.norm2, dt)
-    else:
-        h, g = filter_pair(wt)
-        a = None
-        d = None
-        for m_ in range(len(h)):
-            src_a = e0 if m_ % 2 == 0 else e1
-            ta = jnp.asarray(h[m_], dt) * roll(src_a, -(m_ // 2), 0)
-            if m_ % 2 == 0:
-                td = jnp.asarray(g[m_], dt) * roll(e1, m_ // 2, 0)
-            else:
-                td = jnp.asarray(g[m_], dt) * roll(e0, (m_ - 1) // 2, 0)
-            a = ta if a is None else a + ta
-            d = td if d is None else d + td
-    hh = halo // 2
-    q = a.shape[0] - halo
-    o_ref[0] = a[hh: hh + q]
-    o_ref[1] = d[hh: hh + q]
+    _fw_kernel_body(top_ref[:], mid_ref[:], bot_ref[:], o_ref,
+                    wt=wt, halo=halo)
 
 
 def _inv_kernel(at_ref, ac_ref, ab_ref, dt_ref, dc_ref, db_ref, o_ref,
@@ -208,3 +185,167 @@ def axis0_level_inv(y, wt):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, C), y.dtype),
     )(packed, packed, packed, packed, packed, packed)
+
+
+# --- explicit-halo (non-wrapping) variants for the sharded path --------------
+#
+# The sharded transforms exchange periodic halos ACROSS DEVICES via
+# lax.ppermute (parallel/sharded.py); the kernel then must NOT wrap at the
+# local block's edges.  These variants take the exchanged halo rows as
+# separate inputs: interior tiles read their halo from the local array via
+# the usual ring index maps, and the first/last tiles substitute the
+# exchanged rows in-kernel (a select on the grid index — index maps stay
+# static).
+
+def _fw_ext_kernel(above_ref, top_ref, mid_ref, bot_ref, below_ref, o_ref,
+                   *, wt, halo):
+    i = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+    top = jnp.where(i == 0, above_ref[:], top_ref[:])
+    bot = jnp.where(i == last, below_ref[:], bot_ref[:])
+    _fw_kernel_body(top, mid_ref[:], bot, o_ref, wt=wt, halo=halo)
+
+
+def _fw_kernel_body(top, mid, bot, o_ref, *, wt, halo):
+    ext = jnp.concatenate([top, mid, bot], axis=0)
+    rows, tn = ext.shape
+    r = ext.reshape(rows // 2, 2, tn)
+    e0, e1 = r[:, 0, :], r[:, 1, :]
+    dt = ext.dtype
+    if isinstance(wt, GLS):
+        a, d = _steps_halves(e0, e1, wt, fw=True)
+        a = a * jnp.asarray(wt.norm1, dt)
+        d = d * jnp.asarray(wt.norm2, dt)
+    else:
+        h, g = filter_pair(wt)
+        a = None
+        d = None
+        for m_ in range(len(h)):
+            src_a = e0 if m_ % 2 == 0 else e1
+            ta = jnp.asarray(h[m_], dt) * roll(src_a, -(m_ // 2), 0)
+            if m_ % 2 == 0:
+                td = jnp.asarray(g[m_], dt) * roll(e1, m_ // 2, 0)
+            else:
+                td = jnp.asarray(g[m_], dt) * roll(e0, (m_ - 1) // 2, 0)
+            a = ta if a is None else a + ta
+            d = td if d is None else d + td
+    hh = halo // 2
+    q = a.shape[0] - halo
+    o_ref[0] = a[hh: hh + q]
+    o_ref[1] = d[hh: hh + q]
+
+
+def axis0_ext_ok(R: int, C: int, wt, dtype) -> bool:
+    return axis0_ok(R, C, wt, dtype)
+
+
+def axis0_level_fw_ext(above, x, below, wt):
+    """One forward level along axis 0 of [above; x; below] for the x
+    region only -> (R, C) packed [a | d].  ``above``/``below`` are the
+    ring-exchanged halo rows (each exactly ``_halo_of(wt)`` tall)."""
+    R, C = x.shape
+    halo = _halo_of(wt)
+    assert above.shape == (halo, C) and below.shape == (halo, C)
+    tn = _pick_tn(C)
+    cap = _budget_cap(wt, tn, np.dtype(x.dtype).itemsize)
+    tm = pick_col_tm(R, halo, cap=max(cap, 2 * halo))
+    step = tm // halo
+    nb = R // halo
+    out = pl.pallas_call(
+        partial(_fw_ext_kernel, wt=wt, halo=halo),
+        grid=(R // tm, C // tn),
+        in_specs=[
+            pl.BlockSpec((halo, tn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((halo, tn), lambda i, j: ((i * step - 1) % nb, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((halo, tn), lambda i, j: (((i + 1) * step) % nb, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((halo, tn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, tm // 2, tn), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, R // 2, C), x.dtype),
+    )(above, x, x, x, below)
+    return out.reshape(R, C)
+
+
+def _inv_ext_kernel(aa_ref, at_ref, ac_ref, ab_ref, ba_ref,
+                    da_ref, dt_ref, dc_ref, db_ref, bd_ref, o_ref,
+                    *, wt, halo, tm):
+    i = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+    at = jnp.where(i == 0, aa_ref[:], at_ref[:])
+    ab = jnp.where(i == last, ba_ref[:], ab_ref[:])
+    dtp = jnp.where(i == 0, da_ref[:], dt_ref[:])
+    dbt = jnp.where(i == last, bd_ref[:], db_ref[:])
+    a = jnp.concatenate([at, ac_ref[:], ab], axis=0)
+    d = jnp.concatenate([dtp, dc_ref[:], dbt], axis=0)
+    dt = a.dtype
+    if isinstance(wt, GLS):
+        a = a * jnp.asarray(1.0 / wt.norm1, dt)
+        d = d * jnp.asarray(1.0 / wt.norm2, dt)
+        a, d = _steps_halves(a, d, wt, fw=False)
+        x0, x1 = a, d
+    else:
+        h, g = filter_pair(wt)
+        x0 = None
+        x1 = None
+        for m_ in range(len(h)):
+            if m_ % 2 == 0:
+                t0 = jnp.asarray(h[m_], dt) * roll(a, m_ // 2, 0)
+                t1 = jnp.asarray(g[m_], dt) * roll(d, -(m_ // 2), 0)
+            else:
+                t1 = jnp.asarray(h[m_], dt) * roll(a, (m_ - 1) // 2, 0)
+                t0 = jnp.asarray(g[m_], dt) * roll(d, -((m_ - 1) // 2), 0)
+            x0 = t0 if x0 is None else x0 + t0
+            x1 = t1 if x1 is None else x1 + t1
+    x0 = x0[halo: halo + tm]
+    x1 = x1[halo: halo + tm]
+    o_ref[:] = jnp.stack([x0, x1], axis=1).reshape(2 * tm, x0.shape[-1])
+
+
+def axis0_level_inv_ext(a_halos, a, b_halos, d, wt):
+    """Inverse level along axis 0 with exchanged halos.
+
+    ``a``/``d`` — the local (R/2, C) scaling/detail chunks.  ``a_halos``
+    = (above, below) halo rows of ``a`` from the ring neighbours (each
+    ``_halo_of(wt)`` tall); ``b_halos`` likewise for ``d``.  Returns the
+    merged (R, C) rows."""
+    Rh, C = a.shape
+    halo = _halo_of(wt)
+    a_above, a_below = a_halos
+    d_above, d_below = b_halos
+    tn = _pick_tn(C)
+    cap = _budget_cap(wt, tn, np.dtype(a.dtype).itemsize)
+    tm = pick_col_tm(Rh, halo, cap=max(min(cap, 512), 2 * halo))
+    step = tm // halo
+    nb = Rh // halo
+
+    def hs(off_kind):
+        if off_kind == "pad":
+            return pl.BlockSpec((halo, tn), lambda i, j: (0, j),
+                                memory_space=pltpu.VMEM)
+        if off_kind == "top":
+            return pl.BlockSpec((halo, tn),
+                                lambda i, j: ((i * step - 1) % nb, j),
+                                memory_space=pltpu.VMEM)
+        if off_kind == "mid":
+            return pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((halo, tn),
+                            lambda i, j: (((i + 1) * step) % nb, j),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        partial(_inv_ext_kernel, wt=wt, halo=halo, tm=tm),
+        grid=(Rh // tm, C // tn),
+        in_specs=[hs("pad"), hs("top"), hs("mid"), hs("bot"), hs("pad"),
+                  hs("pad"), hs("top"), hs("mid"), hs("bot"), hs("pad")],
+        out_specs=pl.BlockSpec((2 * tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * Rh, C), a.dtype),
+    )(a_above, a, a, a, a_below, d_above, d, d, d, d_below)

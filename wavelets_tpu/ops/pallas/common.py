@@ -38,6 +38,10 @@ def dtype_ok(dtype) -> bool:
     if d == np.dtype(np.float32):
         return True
     if d == np.dtype(jnp.bfloat16):
+        # WARNING: on the current sandbox toolchain (jax 0.9 / v5e via
+        # the axon tunnel) compiling the bitcast-roll kernels CRASHES the
+        # TPU runtime outright (no error, device wedges).  Interpret-mode
+        # tests pass; keep strictly opt-in until a toolchain accepts it.
         return os.environ.get("WAVELETS_TPU_BF16") == "1"
     return False
 

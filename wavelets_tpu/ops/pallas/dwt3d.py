@@ -65,8 +65,10 @@ def _level_inv(active, wt):
     dd, mm, nn = active.shape
     z = axis0.axis0_level_inv(active.reshape(dd, mm * nn), wt)
     z = z.reshape(dd, mm, nn)
+    import os
     from . import fused2d
-    if _fused2d_on(active.shape, wt, active.dtype) and \
+    if os.environ.get("WAVELETS_TPU_FUSED_INV") == "1" and \
+            _fused2d_on(active.shape, wt, active.dtype) and \
             fused2d.fused_inv_ok(mm, nn, wt, active.dtype):
         z = jax.vmap(
             lambda s: fused2d.level_inv_packed(s, s[: mm // 2, : nn // 2],

@@ -325,7 +325,10 @@ def _level_inv_quads(ll, lh, hl, hh, scheme: GLS):
     mh, nh = ll.shape
     m, n = 2 * mh, 2 * nh
     import os
-    if os.environ.get("WAVELETS_TPU_FUSED2D") != "0":
+    # measured on v5e: the 36-ref fused inverse is corner-DMA-bound
+    # (~2.6x slower than the two-kernel inverse at 8192^2) — opt-in
+    # until the halo windows are batched
+    if os.environ.get("WAVELETS_TPU_FUSED_INV") == "1":
         from .fused2d import fused_inv_ok, fused_level_inv_quads
         if fused_inv_ok(m, n, scheme, ll.dtype):
             return fused_level_inv_quads(ll, lh, hl, hh, scheme)
@@ -416,7 +419,7 @@ def idwt2_lifting(y, scheme: GLS, L: int):
     if L == 0:
         return y
     import os
-    fused = os.environ.get("WAVELETS_TPU_FUSED2D") != "0"
+    fused = os.environ.get("WAVELETS_TPU_FUSED_INV") == "1"
     from .fused2d import fused_inv_ok, level_inv_packed
     m, n = y.shape
     ll = y[: m >> L, : n >> L]

@@ -124,6 +124,48 @@ def _split_rows(ext):
     return p[:, 0], p[:, 1]
 
 
+
+def _axis0_fw_pallas(rowt, wt, axis_name, nd):
+    """Route the sharded-axis forward level through the explicit-halo
+    Pallas kernel (ops/pallas/axis0.py): one ppermute pair for the whole
+    level, all steps in-kernel.  Returns None when ineligible (CPU mesh,
+    odd shapes, tiny chunks)."""
+    from ..transforms import _pallas_enabled
+    if not _pallas_enabled():
+        return None
+    from ..ops.pallas import axis0 as A0
+    r = rowt.shape[0]
+    C = int(np.prod(rowt.shape[1:]))
+    halo = A0._halo_of(wt)
+    if r < halo or not A0.axis0_ext_ok(r, C, wt, rowt.dtype):
+        return None
+    flat = rowt.reshape(r, C)
+    above = _ring_from_prev(flat, halo, axis_name, nd)
+    below = _ring_from_next(flat, halo, axis_name, nd)
+    packed = A0.axis0_level_fw_ext(above, flat, below, wt).reshape(rowt.shape)
+    return packed[: r // 2], packed[r // 2:]
+
+
+def _axis0_inv_pallas(a_blk, d_blk, wt, axis_name, nd):
+    from ..transforms import _pallas_enabled
+    if not _pallas_enabled():
+        return None
+    from ..ops.pallas import axis0 as A0
+    rh = a_blk.shape[0]
+    C = int(np.prod(a_blk.shape[1:]))
+    halo = A0._halo_of(wt)
+    if rh < halo or not A0.axis0_ext_ok(2 * rh, C, wt, a_blk.dtype):
+        return None
+    af = a_blk.reshape(rh, C)
+    df = d_blk.reshape(rh, C)
+    a_h = (_ring_from_prev(af, halo, axis_name, nd),
+           _ring_from_next(af, halo, axis_name, nd))
+    d_h = (_ring_from_prev(df, halo, axis_name, nd),
+           _ring_from_next(df, halo, axis_name, nd))
+    col = A0.axis0_level_inv_ext(a_h, af, d_h, df, wt)
+    return col.reshape((2 * rh,) + a_blk.shape[1:])
+
+
 def _filter_axis0_fw(rowt, h, g, axis_name, nd):
     """One forward filter level along the sharded axis 0 with ring halos:
     returns (a, d) local chunks (the device's slice of each half-band)."""
@@ -159,6 +201,9 @@ def _filter_level2_fw_body(blk, wt, h, g, axis_name, nd):
     chunks of the level output (rank-agnostic: 2-D images or 3-D volumes)."""
     # non-sharded axes: fully local, periodic (Pallas-routed on TPU)
     rowt = _local_axes_fw(blk, lambda v: _local_level(v, wt, True))
+    routed = _axis0_fw_pallas(rowt, wt, axis_name, nd)
+    if routed is not None:
+        return routed
     return _filter_axis0_fw(rowt, h, g, axis_name, nd)
 
 
@@ -207,7 +252,9 @@ def _filter_axis0_inv(a_blk, d_blk, h, g, axis_name, nd):
 
 def _filter_level2_inv_body(a_blk, d_blk, wt, h, g, axis_name, nd):
     """Inverse level: (top-half, bottom-half) local chunks -> local rows."""
-    col = _filter_axis0_inv(a_blk, d_blk, h, g, axis_name, nd)
+    col = _axis0_inv_pallas(a_blk, d_blk, wt, axis_name, nd)
+    if col is None:
+        col = _filter_axis0_inv(a_blk, d_blk, h, g, axis_name, nd)
 
     # non-sharded axes inverse: local periodic, first-to-last
     return _local_axes_inv(col, lambda v: _local_level(v, wt, False))
@@ -270,11 +317,16 @@ def _lifting_axis0_inv(a_blk, d_blk, scheme, axis_name, nd):
 def _lifting_level2_fw_body(blk, scheme, axis_name, nd):
     # non-sharded axes (local, periodic; Pallas-routed on TPU)
     rowt = _local_axes_fw(blk, lambda v: _local_level(v, scheme, True))
+    routed = _axis0_fw_pallas(rowt, scheme, axis_name, nd)
+    if routed is not None:
+        return routed
     return _lifting_axis0_fw(rowt, scheme, axis_name, nd)
 
 
 def _lifting_level2_inv_body(a_blk, d_blk, scheme, axis_name, nd):
-    col = _lifting_axis0_inv(a_blk, d_blk, scheme, axis_name, nd)
+    col = _axis0_inv_pallas(a_blk, d_blk, scheme, axis_name, nd)
+    if col is None:
+        col = _lifting_axis0_inv(a_blk, d_blk, scheme, axis_name, nd)
     return _local_axes_inv(col, lambda v: _local_level(v, scheme, False))
 
 
@@ -314,6 +366,11 @@ def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw):
     """N-D sharded multi-level driver: axis 0 sharded over the mesh ring,
     remaining axes local.  Works for 2-D images and 3-D volumes."""
     nd = mesh.shape[axis_name]
+    if nd == 1:
+        # a 1-device mesh has no cross-shard axis: run the single-chip
+        # path (fused Pallas levels) — parallel.dwt2 == dwt exactly
+        from ..transforms import _dwt_impl
+        return _dwt_impl(x, wt, L, x.ndim, fw)
     shape = x.shape
     halo = _halo_rows(wt)
 
