@@ -362,10 +362,23 @@ def lifting_level2(active, scheme: GLS, fw: bool):
 def _dwt2_quads(x, scheme: GLS, L: int):
     """Quadrant-mode multi-level driver: levels exchange quadrant arrays;
     the packed array is assembled by one concatenation cascade (XLA fuses
-    the concat tree into a single materialization pass)."""
+    the concat tree into a single materialization pass).  Small deep
+    levels collapse into ONE whole-tail kernel launch (tail2d.py)."""
+    from . import tail2d
     ll = x
     details = []
-    for _ in range(L):
+    for l in range(L):
+        rem = L - l
+        m, n = ll.shape
+        Lt = tail2d.tail_fit(m, n, rem, scheme, ll.dtype)
+        if Lt >= min(rem, 2):
+            packed = tail2d.tail_fw(ll, scheme, Lt)
+            if Lt < rem:
+                sub = _dwt2_quads(packed[: m >> Lt, : n >> Lt], scheme,
+                                  rem - Lt)
+                packed = jax.lax.dynamic_update_slice(packed, sub, (0, 0))
+            ll = packed
+            break
         ll, lh, hl, hh = _level_fw_quads(ll, scheme)
         details.append((lh, hl, hh))
     y = ll
@@ -422,8 +435,22 @@ def idwt2_lifting(y, scheme: GLS, L: int):
     fused = os.environ.get("WAVELETS_TPU_FUSED_INV") == "1"
     from .fused2d import fused_inv_ok, level_inv_packed
     m, n = y.shape
-    ll = y[: m >> L, : n >> L]
-    for l in range(L, 0, -1):
+    # collapse the deepest small levels into one inverse tail launch
+    from . import tail2d
+    Lt = 0
+    for cand in range(L, 0, -1):
+        if tail2d.tail_ok(m >> (L - cand), n >> (L - cand), cand,
+                          scheme, y.dtype):
+            Lt = cand
+            break
+    if Lt >= min(L, 2):
+        cm, cn = m >> (L - Lt), n >> (L - Lt)
+        ll = tail2d.tail_inv(y[:cm, :cn], scheme, Lt)
+        start = L - Lt
+    else:
+        ll = y[: m >> L, : n >> L]
+        start = L
+    for l in range(start, 0, -1):
         mh, nh = m >> l, n >> l
         if fused and fused_inv_ok(2 * mh, 2 * nh, scheme, y.dtype):
             ll = level_inv_packed(y, ll, (2 * mh, 2 * nh), scheme)
