@@ -1,0 +1,110 @@
+"""MXU banded-matmul level kernel (ops/pallas/mxu2d.py) vs the f64 jnp
+engines, in TPU interpret mode on CPU — same hardware-free strategy as
+test_pallas.py (reference analogue: test/gpu.jl on JLArrays)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import wavelets_tpu as w
+from wavelets_tpu.ops.pallas import mxu2d as M
+from wavelets_tpu.ops.pallas import lifting2d as P
+
+
+def _ref_level(x64, wt):
+    """One 2-D level in float64 through the jnp engines."""
+    from wavelets_tpu.ops import lifting as LF, filter_fb as FF
+    from wavelets_tpu.wt.carriers import GLS
+    if isinstance(wt, GLS):
+        return np.asarray(LF.dwt_nd_lifting(jnp.asarray(x64), wt, 1, 2))
+    h, g = FF.filter_pair(wt)
+    a, d = FF.dwt_level(jnp.asarray(x64), h, g)
+    rowt = jnp.concatenate([a, d], -1)
+    mvd = jnp.moveaxis(rowt, 0, -1)
+    a2, d2 = FF.dwt_level(mvd, h, g)
+    return np.asarray(jnp.moveaxis(jnp.concatenate([a2, d2], -1), -1, 0))
+
+
+@pytest.mark.parametrize("wname,kind", [
+    ("cdf97", "lifting"), ("haar", "lifting"), ("db2", "lifting"),
+    ("db2", "filter"), ("db4", "filter"), ("sym6", "filter"),
+])
+def test_mxu_level_matches_f64_reference(wname, kind):
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    rng = np.random.default_rng(81)
+    x = rng.standard_normal((512, 768)).astype(np.float32)
+    assert M.mxu_ok(*x.shape, wt, np.float32)
+
+    ref = _ref_level(x.astype(np.float64), wt)
+    with pltpu.force_tpu_interpret_mode():
+        ll, lh, hl, hh = M.mxu_level_fw_quads(jnp.asarray(x), wt)
+    got = np.block([[np.asarray(ll), np.asarray(lh)],
+                    [np.asarray(hl), np.asarray(hh)]])
+    assert np.abs(got - ref).max() < 1e-4
+
+
+def test_mxu_bands_match_engines_exactly():
+    """Band extraction is f64-exact against the engines' own output on a
+    random signal (1-D, one level)."""
+    from wavelets_tpu.ops import lifting as LF, filter_fb as FF
+    rng = np.random.default_rng(82)
+    n = 256
+    x = rng.standard_normal(n)
+    for wname, kind in (("cdf97", "lifting"), ("db4", "filter")):
+        wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+        ds, cs, dd, cd = M.level_bands(wt)
+        a_band = np.array([sum(c * x[(2 * k + dlt) % n]
+                               for dlt, c in zip(ds, cs))
+                           for k in range(n // 2)])
+        d_band = np.array([sum(c * x[(2 * k + dlt) % n]
+                               for dlt, c in zip(dd, cd))
+                           for k in range(n // 2)])
+        if kind == "lifting":
+            s_ref, d_ref = LF.lifting_level_fw(jnp.asarray(x), wt)
+        else:
+            h, g = FF.filter_pair(wt)
+            s_ref, d_ref = FF.dwt_level(jnp.asarray(x), h, g)
+        assert np.abs(a_band - np.asarray(s_ref)).max() < 1e-12
+        assert np.abs(d_band - np.asarray(d_ref)).max() < 1e-12
+
+
+@pytest.mark.parametrize("mode", ["split3", "highest", "bf16"])
+def test_mxu_precision_modes(mode, monkeypatch):
+    monkeypatch.setenv("WAVELETS_TPU_MXU_PREC", mode)
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    rng = np.random.default_rng(83)
+    x = rng.standard_normal((384, 512)).astype(np.float32)
+    ref = _ref_level(x.astype(np.float64), wt)
+    with pltpu.force_tpu_interpret_mode():
+        ll, lh, hl, hh = M.mxu_level_fw_quads(jnp.asarray(x), wt)
+    got = np.block([[np.asarray(ll), np.asarray(lh)],
+                    [np.asarray(hl), np.asarray(hh)]])
+    tol = {"split3": 1e-4, "highest": 1e-5, "bf16": 0.1}[mode]
+    assert np.abs(got - ref).max() < tol
+
+
+def test_mxu_multilevel_integration(monkeypatch):
+    """dwt2_lifting with the MXU route forced on: deep tail levels fall
+    back below the tile plan; whole pyramid matches f64 + round-trips."""
+    monkeypatch.setenv("WAVELETS_TPU_MXU2D", "1")
+    scheme = w.wt.wavelet(w.wt.cdf97, "lifting")
+    rng = np.random.default_rng(84)
+    x = rng.standard_normal((512, 512)).astype(np.float32)
+    L = 4
+    ref = np.asarray(w.dwt(x.astype(np.float64),
+                           w.wt.wavelet(w.wt.cdf97, "lifting"), L))
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(P.dwt2_lifting(jnp.asarray(x), scheme, L))
+    assert np.abs(y - ref).max() < 1e-3
+    with pltpu.force_tpu_interpret_mode():
+        xr = np.asarray(P.idwt2_lifting(jnp.asarray(y), scheme, L))
+    assert np.abs(xr - x).max() < 1e-3
+
+
+def test_mxu_plan_gating():
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    assert not M.mxu_ok(512, 512, wt, np.float64)     # f32 only
+    assert not M.mxu_ok(512, 200, wt, np.float32)     # width not 256-tileable
+    assert not M.mxu_ok(12, 512, wt, np.float32)      # rows below tile plan
+    assert M.mxu_ok(256, 512, wt, np.float32)

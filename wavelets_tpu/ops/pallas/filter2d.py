@@ -257,6 +257,12 @@ def _level_fw_quads(active, wt: OrthoFilter):
     # Single-pass fused level kernel (fused2d.py): ~2.3 HBM passes per
     # level vs this pipeline's ~4.  Opt out with WAVELETS_TPU_FUSED2D=0.
     import os
+    # MXU banded-matmul level (mxu2d.py) — measured 1.5x the VPU fused
+    # kernel at 8192^2; opt out with WAVELETS_TPU_MXU2D=0.
+    if os.environ.get("WAVELETS_TPU_MXU2D") != "0":
+        from .mxu2d import mxu_ok, mxu_level_fw_quads
+        if mxu_ok(m, n, wt, active.dtype):
+            return mxu_level_fw_quads(active, wt)
     if os.environ.get("WAVELETS_TPU_FUSED2D") != "0":
         from .fused2d import fused_ok, fused_level_fw_quads
         if fused_ok(m, n, wt, active.dtype):

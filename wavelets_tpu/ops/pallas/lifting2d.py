@@ -302,6 +302,14 @@ def _level_fw_quads(active, scheme: GLS):
     # passes per level vs this pipeline's ~4.  Opt out with
     # WAVELETS_TPU_FUSED2D=0.
     import os
+    # MXU formulation (mxu2d.py): the whole level as two banded matmuls
+    # with the lane deinterleave baked into the weights — measured 1.5x
+    # the VPU fused kernel at 8192^2 (BENCHMARKS.md).  Opt out with
+    # WAVELETS_TPU_MXU2D=0.
+    if os.environ.get("WAVELETS_TPU_MXU2D") != "0":
+        from .mxu2d import mxu_ok, mxu_level_fw_quads
+        if mxu_ok(m, n, scheme, active.dtype):
+            return mxu_level_fw_quads(active, scheme)
     if os.environ.get("WAVELETS_TPU_FUSED2D") != "0":
         from .fused2d import fused_ok, fused_level_fw_quads
         if fused_ok(m, n, scheme, active.dtype):

@@ -48,6 +48,9 @@ def make_mesh2d(shape: tuple[int, int] | None = None,
             a -= 1
         shape = (a, n // a)
     ndev = shape[0] * shape[1]
+    if len(devs) < ndev:
+        raise ValueError(f"make_mesh2d({shape}): only {len(devs)} "
+                         "devices visible")
     return Mesh(np.array(devs[:ndev]).reshape(shape), axes)
 
 

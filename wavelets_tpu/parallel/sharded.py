@@ -47,6 +47,9 @@ def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
+    if len(devs) < n_devices:
+        raise ValueError(f"make_mesh({n_devices}): only {len(devs)} "
+                         "devices visible")
     return Mesh(np.array(devs[:n_devices]), (axis,))
 
 
