@@ -108,3 +108,71 @@ def test_mxu_plan_gating():
     assert not M.mxu_ok(512, 200, wt, np.float32)     # width not 256-tileable
     assert not M.mxu_ok(12, 512, wt, np.float32)      # rows below tile plan
     assert M.mxu_ok(256, 512, wt, np.float32)
+
+
+@pytest.mark.parametrize("wname,kind", [
+    ("cdf97", "lifting"), ("haar", "lifting"), ("db2", "lifting"),
+    ("db2", "filter"), ("db4", "filter"), ("sym6", "filter"),
+])
+def test_mxu_inverse_roundtrip(wname, kind):
+    """MXU forward -> MXU inverse (quads AND packed-read variants)
+    reconstructs the input within the f32 kernel contract."""
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    rng = np.random.default_rng(85)
+    x = rng.standard_normal((512, 768)).astype(np.float32)
+    assert M.mxu_inv_ok(*x.shape, wt, np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        ll, lh, hl, hh = M.mxu_level_fw_quads(jnp.asarray(x), wt)
+        xr = np.asarray(M.mxu_inv_quads(ll, lh, hl, hh, wt))
+    assert np.abs(xr - x).max() < 2e-4
+    y = np.block([[np.asarray(ll), np.asarray(lh)],
+                  [np.asarray(hl), np.asarray(hh)]])
+    with pltpu.force_tpu_interpret_mode():
+        xr2 = np.asarray(M.mxu_inv_packed(jnp.asarray(y), ll, x.shape, wt))
+    assert np.abs(xr2 - x).max() < 2e-4
+
+
+def test_mxu_synthesis_bands_invert_analysis():
+    """synthesis_bands is the exact inverse of level_bands on a random
+    periodic signal (f64)."""
+    rng = np.random.default_rng(86)
+    n = 128
+    x = rng.standard_normal(n)
+    for wname, kind in (("cdf97", "lifting"), ("sym6", "filter")):
+        wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+        ds, cs, dd, cd = M.level_bands(wt)
+        s = np.array([sum(c * x[(2 * k + d_) % n] for d_, c in zip(ds, cs))
+                      for k in range(n // 2)])
+        d = np.array([sum(c * x[(2 * k + d_) % n] for d_, c in zip(dd, cd))
+                      for k in range(n // 2)])
+        bands = M.synthesis_bands(wt)
+        (dS0, cS0), (dD0, cD0), (dS1, cS1), (dD1, cD1) = bands
+        xr = np.zeros(n)
+        for k in range(n // 2):
+            xr[2 * k] = sum(c * s[(k + d_) % (n // 2)]
+                            for d_, c in zip(dS0, cS0)) \
+                + sum(c * d[(k + d_) % (n // 2)] for d_, c in zip(dD0, cD0))
+            xr[2 * k + 1] = sum(c * s[(k + d_) % (n // 2)]
+                                for d_, c in zip(dS1, cS1)) \
+                + sum(c * d[(k + d_) % (n // 2)] for d_, c in zip(dD1, cD1))
+        assert np.abs(xr - x).max() < 1e-10
+
+
+def test_mxu_full_idwt2_integration(monkeypatch):
+    """idwt2 drivers route through mxu_inv_packed; multi-level round-trip
+    against the forward pyramid."""
+    monkeypatch.setenv("WAVELETS_TPU_MXU2D", "1")
+    for wname, kind in (("cdf97", "lifting"), ("db4", "filter")):
+        wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+        rng = np.random.default_rng(87)
+        x = rng.standard_normal((512, 512)).astype(np.float32)
+        L = 3
+        if kind == "lifting":
+            fw, inv = P.dwt2_lifting, P.idwt2_lifting
+        else:
+            from wavelets_tpu.ops.pallas import filter2d as F
+            fw, inv = F.dwt2_filter, F.idwt2_filter
+        with pltpu.force_tpu_interpret_mode():
+            y = fw(jnp.asarray(x), wt, L)
+            xr = np.asarray(inv(y, wt, L))
+        assert np.abs(xr - x).max() < 1e-3, (wname, kind)

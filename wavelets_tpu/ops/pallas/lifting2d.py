@@ -333,6 +333,12 @@ def _level_inv_quads(ll, lh, hl, hh, scheme: GLS):
     mh, nh = ll.shape
     m, n = 2 * mh, 2 * nh
     import os
+    # MXU synthesis kernel (mxu2d.py): single pass, no butterfly, 4
+    # quadrant halo reads.  Opt out with WAVELETS_TPU_MXU2D=0.
+    if os.environ.get("WAVELETS_TPU_MXU2D") != "0":
+        from .mxu2d import mxu_inv_ok, mxu_inv_quads
+        if mxu_inv_ok(m, n, scheme, ll.dtype):
+            return mxu_inv_quads(ll, lh, hl, hh, scheme)
     # measured on v5e: the 36-ref fused inverse is corner-DMA-bound
     # (~2.6x slower than the two-kernel inverse at 8192^2) — opt-in
     # until the halo windows are batched
@@ -441,7 +447,9 @@ def idwt2_lifting(y, scheme: GLS, L: int):
         return y
     import os
     fused = os.environ.get("WAVELETS_TPU_FUSED_INV") == "1"
+    mxu = os.environ.get("WAVELETS_TPU_MXU2D") != "0"
     from .fused2d import fused_inv_ok, level_inv_packed
+    from .mxu2d import mxu_inv_ok, mxu_inv_packed
     m, n = y.shape
     # collapse the deepest small levels into one inverse tail launch
     from . import tail2d
@@ -460,6 +468,9 @@ def idwt2_lifting(y, scheme: GLS, L: int):
         start = L
     for l in range(start, 0, -1):
         mh, nh = m >> l, n >> l
+        if mxu and mxu_inv_ok(2 * mh, 2 * nh, scheme, y.dtype):
+            ll = mxu_inv_packed(y, ll, (2 * mh, 2 * nh), scheme)
+            continue
         if fused and fused_inv_ok(2 * mh, 2 * nh, scheme, y.dtype):
             ll = level_inv_packed(y, ll, (2 * mh, 2 * nh), scheme)
             continue

@@ -54,7 +54,8 @@ from ..filter_fb import filter_pair
 from .common import roundup
 from .fused2d import _halo_in_specs
 
-__all__ = ["level_bands", "mxu_ok", "mxu_level_fw_quads"]
+__all__ = ["level_bands", "synthesis_bands", "mxu_ok", "mxu_level_fw_quads",
+           "mxu_inv_ok", "mxu_inv_quads", "mxu_inv_packed"]
 
 _WIN = 512          # lane window per 256-lane output group
 _HN = 128           # lane halo (left margin of the first window)
@@ -261,3 +262,216 @@ def mxu_level_fw_quads(x, wt):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
     )(*([x] * 9), wr, wc)
+
+
+# --- inverse level -----------------------------------------------------------
+#
+# The synthesis is the same banded-matmul shape transposed:
+#
+#     X = W_c_syn @ [quadrant rows]   then   lane groups @ W_r_syn
+#
+# with the lane RE-interleave baked into W_r_syn (output lanes 2k / 2k+1
+# per parity), so the inverse lane butterfly AND the corner-DMA-bound
+# 36-ref window assembly of fused2d's VPU inverse (measured ~2.6x slower
+# than even the two-kernel inverse) are both gone: 4 quadrant halo reads
+# + two dots + 1 write.  Reference semantics: the synthesis banks of
+# src/Transforms/transforms_filter.jl:380-395 and the inverse lifting
+# chain of transforms_lifting.jl:485-560.
+
+_WINV = 384         # synthesis lane window per 128-pair output group
+
+
+def synthesis_bands(wt):
+    """Per-parity synthesis bands, float64:
+
+        x[2k + p] = sum_i cS[p][i] * s[k + dS[p][i]]
+                  + sum_i cD[p][i] * d[k + dD[p][i]]
+
+    Returned as [(dS0, cS0), (dD0, cD0), (dS1, cS1), (dD1, cD1)].
+    Derived from the analysis bands: build the periodic analysis matrix,
+    invert it (exact transpose for orthogonal filter banks), and read the
+    bands off the circulant rows.
+    """
+    ds, cs, dd, cd = level_bands(wt)
+    N = 512
+    N2 = N // 2
+    T = np.zeros((N, N))
+    for k in range(N2):
+        for dlt, c in zip(ds, cs):
+            T[k, (2 * k + dlt) % N] += c
+        for dlt, c in zip(dd, cd):
+            T[N2 + k, (2 * k + dlt) % N] += c
+    Ti = T.T if isinstance(wt, OrthoFilter) else np.linalg.inv(T)
+    k0 = N2 // 2
+    out = []
+    for p in (0, 1):
+        row = Ti[2 * k0 + p]
+        for resp in (row[:N2], row[N2:]):
+            nz = np.nonzero(np.abs(resp) > 1e-10)[0]
+            out.append((nz - k0, resp[nz]))
+    return out
+
+
+def _syn_reach(wt):
+    bands = synthesis_bands(wt)
+    deltas = np.concatenate([d for d, _ in bands])
+    return int(-deltas.min()), int(deltas.max())
+
+
+def _w_row_inv(wt, dtype):
+    """(768, 256) synthesis weight block: [s-window | d-window] lanes
+    (each 384 = 128 halo + 128 pairs + 128 halo) -> 256 interleaved
+    output lanes."""
+    (dS0, cS0), (dD0, cD0), (dS1, cS1), (dD1, cD1) = synthesis_bands(wt)
+    W = np.zeros((2 * _WINV, 256), np.float64)
+    for o in range(128):
+        for dlt, c in zip(dS0, cS0):
+            W[128 + o + dlt, 2 * o] += c
+        for dlt, c in zip(dD0, cD0):
+            W[_WINV + 128 + o + dlt, 2 * o] += c
+        for dlt, c in zip(dS1, cS1):
+            W[128 + o + dlt, 2 * o + 1] += c
+        for dlt, c in zip(dD1, cD1):
+            W[_WINV + 128 + o + dlt, 2 * o + 1] += c
+    return jnp.asarray(W.astype(dtype))
+
+
+def _w_col_inv(wt, tm, hm2, dtype):
+    """(tm, 2*(tm/2 + 2*hm2)) weight block: stacked halo-extended
+    [a-rows ; d-rows] -> tm interleaved output rows."""
+    (dS0, cS0), (dD0, cD0), (dS1, cS1), (dD1, cD1) = synthesis_bands(wt)
+    tm2 = tm // 2
+    E = tm2 + 2 * hm2
+    W = np.zeros((tm, 2 * E), np.float64)
+    for r in range(tm2):
+        for dlt, c in zip(dS0, cS0):
+            W[2 * r, hm2 + r + dlt] += c
+        for dlt, c in zip(dD0, cD0):
+            W[2 * r, E + hm2 + r + dlt] += c
+        for dlt, c in zip(dS1, cS1):
+            W[2 * r + 1, hm2 + r + dlt] += c
+        for dlt, c in zip(dD1, cD1):
+            W[2 * r + 1, E + hm2 + r + dlt] += c
+    return jnp.asarray(W.astype(dtype))
+
+
+def _plan_inv(ml: int, nl: int, wt, dtype):
+    """(tm, tn, hm2, hn2) in FULL-level coordinates (fused2d plan-tuple
+    layout, so fused2d._inv_group_specs is reused as-is)."""
+    if np.dtype(dtype) != np.dtype(np.float32):
+        return None
+    lo, hi = _syn_reach(wt)
+    if max(lo, hi) > 120:
+        return None
+    hm2 = roundup(max(lo, hi, 1), 8)
+    hn2 = 128
+    mh, nh = ml // 2, nl // 2
+    tn = next((c for c in (2048, 1024, 512, 256) if nl % c == 0), None)
+    if tn is None or nh % hn2 or nh // hn2 < 3:
+        return None
+    tm = 128
+    while tm >= 4 * hm2:
+        tm2 = tm // 2
+        if ml % tm == 0 and tm2 % hm2 == 0 and mh % hm2 == 0:
+            break
+        tm //= 2
+    else:
+        return None
+    if mh // hm2 < 3:
+        return None
+    # VMEM live-set estimate: 4 quadrant exts + Xs/Xd + out + bf16 splits
+    tn2 = tn // 2
+    ext_b = 4 * (tm // 2 + 2 * hm2) * (tn2 + 256) * 4
+    x_b = 2 * tm * (tn2 + 256) * 4
+    if (ext_b + x_b) * 5 // 2 + tm * tn * 4 > (13 << 20):
+        return None
+    return tm, tn, hm2, hn2
+
+
+def mxu_inv_ok(ml: int, nl: int, wt, dtype) -> bool:
+    return _plan_inv(ml, nl, wt, dtype) is not None
+
+
+def _mxu_inv_kernel(*refs, nj, mode):
+    groups = [refs[9 * k: 9 * (k + 1)] for k in range(4)]
+    wc_ref, wr_ref = refs[36], refs[37]
+    o_ref = refs[38]
+
+    def ext(g):
+        nw, nn, ne, ww, cc, ee, sw, ss, se = g
+        top = jnp.concatenate([nw[:], nn[:], ne[:]], axis=1)
+        mid = jnp.concatenate([ww[:], cc[:], ee[:]], axis=1)
+        bot = jnp.concatenate([sw[:], ss[:], se[:]], axis=1)
+        return jnp.concatenate([top, mid, bot], axis=0)
+
+    ll, lh, hl, hh = (ext(g) for g in groups)
+    wc = _pair(wc_ref[:], mode)
+    Xs = _dot_f32(wc, _pair(jnp.concatenate([ll, hl], axis=0), mode), mode)
+    Xd = _dot_f32(wc, _pair(jnp.concatenate([lh, hh], axis=0), mode), mode)
+
+    wr = _pair(wr_ref[:], mode)
+    Xs_p = _pair(Xs, mode)
+    Xd_p = _pair(Xd, mode)
+
+    def win(p, j):
+        a, (hi, lo) = p
+        sl = (slice(None), slice(128 * j, 128 * j + _WINV))
+        return a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None))
+
+    def wincat(j):
+        sa, (sh, sl_) = win(Xs_p, j)
+        da, (dh, dl) = win(Xd_p, j)
+        a = jnp.concatenate([sa, da], axis=1)
+        if sh is None:
+            return a, (None, None)
+        return a, (jnp.concatenate([sh, dh], axis=1),
+                   jnp.concatenate([sl_, dl], axis=1))
+
+    pieces = [_dot_f32(wincat(j), wr, mode) for j in range(nj)]
+    o_ref[:] = jnp.concatenate(pieces, axis=1)
+
+
+def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
+    from .fused2d import _inv_group_specs
+    tm, tn, hm2, _hn2 = plan
+    in_specs = []
+    inputs = []
+    for src, off in zip(srcs, offs):
+        in_specs += _inv_group_specs(plan, ml, nl, src.shape, off)
+        inputs += [src] * 9
+    dt = srcs[0].dtype
+    wr = _w_row_inv(wt, dt)
+    wc = _w_col_inv(wt, tm, hm2, dt)
+    in_specs += [
+        pl.BlockSpec(wc.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(wr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        partial(_mxu_inv_kernel, nj=(tn // 2) // 128, mode=_mxu_mode()),
+        grid=(ml // tm, nl // tn),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ml, nl), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(*inputs, wc, wr)
+
+
+def mxu_inv_quads(ll, lh, hl, hh, wt):
+    """One inverse 2-D level from quadrant arrays via two banded matmuls."""
+    mh, nh = ll.shape
+    ml, nl = 2 * mh, 2 * nh
+    plan = _plan_inv(ml, nl, wt, ll.dtype)
+    return _mxu_inv_call(plan, (ll, lh, hl, hh), [(0, 0)] * 4, ml, nl, wt)
+
+
+def mxu_inv_packed(y, ll, l_size, wt):
+    """One inverse level reading the detail quadrants DIRECTLY from the
+    packed array ``y`` through offset halo windows; ``ll`` is the running
+    scaling array from the deeper level."""
+    ml, nl = l_size
+    plan = _plan_inv(ml, nl, wt, y.dtype)
+    mh, nh = ml // 2, nl // 2
+    return _mxu_inv_call(plan, (ll, y, y, y),
+                         [(0, 0), (0, nh), (mh, 0), (mh, nh)], ml, nl, wt)
