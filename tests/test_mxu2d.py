@@ -176,3 +176,27 @@ def test_mxu_full_idwt2_integration(monkeypatch):
             y = fw(jnp.asarray(x), wt, L)
             xr = np.asarray(inv(y, wt, L))
         assert np.abs(xr - x).max() < 1e-3, (wname, kind)
+
+
+def test_mxu_packed_pyramid_matches_quads(monkeypatch):
+    """Packed mode (default) == quadrant mode, both engines, and matches
+    the f64 reference; round-trips through the packed-read inverse."""
+    rng = np.random.default_rng(88)
+    x = rng.standard_normal((512, 512)).astype(np.float32)
+    L = 3
+    from wavelets_tpu.ops.pallas import filter2d as F
+    for wname, kind in (("cdf97", "lifting"), ("db4", "filter")):
+        wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+        fw = P.dwt2_lifting if kind == "lifting" else F.dwt2_filter
+        inv = P.idwt2_lifting if kind == "lifting" else F.idwt2_filter
+        ref = np.asarray(w.dwt(x.astype(np.float64), wt, L))
+        monkeypatch.setenv("WAVELETS_TPU_PACKED2D", "")
+        with pltpu.force_tpu_interpret_mode():
+            yp = np.asarray(fw(jnp.asarray(x), wt, L))
+            xr = np.asarray(inv(jnp.asarray(yp), wt, L))
+        monkeypatch.setenv("WAVELETS_TPU_PACKED2D", "0")
+        with pltpu.force_tpu_interpret_mode():
+            yq = np.asarray(fw(jnp.asarray(x), wt, L))
+        assert np.abs(yp - ref).max() < 1e-3, (wname, "vs f64")
+        assert np.abs(yp - yq).max() < 2e-4, (wname, "packed vs quads")
+        assert np.abs(xr - x).max() < 1e-3, (wname, "roundtrip")

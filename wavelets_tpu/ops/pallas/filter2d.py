@@ -333,14 +333,25 @@ def _dwt2_quads(x, wt: OrthoFilter, L: int):
 def _dwt2_packed(x, wt: OrthoFilter, L: int):
     """Packed-mode driver (see lifting2d._dwt2_packed): detail quadrants
     stream straight into the alias-chained full-size buffer."""
+    import os
     from .fused2d import packed_ok, level_fw_packed, level_fw_packed_first
+    from .mxu2d import (mxu_packed_ok, mxu_level_fw_packed,
+                        mxu_level_fw_packed_first)
+    mxu = os.environ.get("WAVELETS_TPU_MXU2D") != "0"
+    # the VPU packed body is only used on explicit opt-in (=1): it is
+    # interpret-validated but not device-measured
+    vpu = os.environ.get("WAVELETS_TPU_PACKED2D") == "1"
     m, n = x.shape
     ll, y, done = x, None, 0
     for l in range(L):
-        if not packed_ok(m >> l, n >> l, wt, x.dtype):
+        if mxu and mxu_packed_ok(m >> l, n >> l, wt, x.dtype):
+            ll, y = (mxu_level_fw_packed_first(ll, wt) if y is None
+                     else mxu_level_fw_packed(ll, y, wt))
+        elif vpu and packed_ok(m >> l, n >> l, wt, x.dtype):
+            ll, y = (level_fw_packed_first(ll, wt) if y is None
+                     else level_fw_packed(ll, y, wt))
+        else:
             break
-        ll, y = (level_fw_packed_first(ll, wt) if y is None
-                 else level_fw_packed(ll, y, wt))
         done += 1
     if y is None:
         return None
@@ -354,7 +365,10 @@ def dwt2_filter(x, wt: OrthoFilter, L: int):
     if L == 0:
         return x
     import os
-    if os.environ.get("WAVELETS_TPU_PACKED2D") == "1":
+    # Packed mode (device-validated bit-exact vs quadrant mode): detail
+    # quadrants stream straight into the final packed buffer, no XLA
+    # assembly pass.  Opt out with WAVELETS_TPU_PACKED2D=0.
+    if os.environ.get("WAVELETS_TPU_PACKED2D") != "0":
         y = _dwt2_packed(x, wt, L)
         if y is not None:
             return y

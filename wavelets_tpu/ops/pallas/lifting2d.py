@@ -408,14 +408,25 @@ def _dwt2_packed(x, scheme: GLS, L: int):
     quadrants straight into their final positions of one full-size buffer
     (alias-chained through the levels), so the packed layout costs no
     assembly pass.  Returns None when the first level is not eligible."""
+    import os
     from .fused2d import packed_ok, level_fw_packed, level_fw_packed_first
+    from .mxu2d import (mxu_packed_ok, mxu_level_fw_packed,
+                        mxu_level_fw_packed_first)
+    mxu = os.environ.get("WAVELETS_TPU_MXU2D") != "0"
+    # the VPU packed body is only used on explicit opt-in (=1): it is
+    # interpret-validated but not device-measured
+    vpu = os.environ.get("WAVELETS_TPU_PACKED2D") == "1"
     m, n = x.shape
     ll, y, done = x, None, 0
     for l in range(L):
-        if not packed_ok(m >> l, n >> l, scheme, x.dtype):
+        if mxu and mxu_packed_ok(m >> l, n >> l, scheme, x.dtype):
+            ll, y = (mxu_level_fw_packed_first(ll, scheme) if y is None
+                     else mxu_level_fw_packed(ll, y, scheme))
+        elif vpu and packed_ok(m >> l, n >> l, scheme, x.dtype):
+            ll, y = (level_fw_packed_first(ll, scheme) if y is None
+                     else level_fw_packed(ll, y, scheme))
+        else:
             break
-        ll, y = (level_fw_packed_first(ll, scheme) if y is None
-                 else level_fw_packed(ll, y, scheme))
         done += 1
     if y is None:
         return None
@@ -429,7 +440,10 @@ def dwt2_lifting(x, scheme: GLS, L: int):
     if L == 0:
         return x
     import os
-    if os.environ.get("WAVELETS_TPU_PACKED2D") == "1":
+    # Packed mode (device-validated bit-exact vs quadrant mode): detail
+    # quadrants stream straight into the final packed buffer, no XLA
+    # assembly pass.  Opt out with WAVELETS_TPU_PACKED2D=0.
+    if os.environ.get("WAVELETS_TPU_PACKED2D") != "0":
         y = _dwt2_packed(x, scheme, L)
         if y is not None:
             return y

@@ -55,7 +55,9 @@ from .common import roundup
 from .fused2d import _halo_in_specs
 
 __all__ = ["level_bands", "synthesis_bands", "mxu_ok", "mxu_level_fw_quads",
-           "mxu_inv_ok", "mxu_inv_quads", "mxu_inv_packed"]
+           "mxu_inv_ok", "mxu_inv_quads", "mxu_inv_packed",
+           "mxu_packed_ok", "mxu_level_fw_packed",
+           "mxu_level_fw_packed_first"]
 
 _WIN = 512          # lane window per 256-lane output group
 _HN = 128           # lane halo (left margin of the first window)
@@ -475,3 +477,120 @@ def mxu_inv_packed(y, ll, l_size, wt):
     mh, nh = ml // 2, nl // 2
     return _mxu_inv_call(plan, (ll, y, y, y),
                          [(0, 0), (0, nh), (mh, 0), (mh, nh)], ml, nl, wt)
+
+
+# --- packed output mode ------------------------------------------------------
+#
+# Same zero-assembly-pass scheme as fused2d's packed mode (innermost q
+# grid axis writes the three detail quadrants into their final positions
+# of the alias-chained full-size buffer; compute runs at q == 0 with the
+# detail tiles staged in VMEM scratch), but with the MXU compute body.
+
+def mxu_packed_ok(m: int, n: int, wt, dtype) -> bool:
+    plan = _plan(m, n, wt, dtype)
+    if plan is None:
+        return False
+    tm, tn, hm = plan
+    return (m // 2) % (tm // 2) == 0 and (n // 2) % (tn // 2) == 0
+
+
+def _mxu_packed_kernel(*refs, nj, tm, hm, mode, has_alias):
+    if has_alias:
+        (ins, wr_ref, wc_ref, _yin, ll_ref, y_ref, stash) = (
+            refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
+            refs[14])
+    else:
+        (ins, wr_ref, wc_ref, ll_ref, y_ref, stash) = (
+            refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13])
+    q = pl.program_id(2)
+
+    @pl.when(q == 0)
+    def _():
+        nw, nn, ne, ww, cc, ee, sw, ss, se = ins
+        top = jnp.concatenate([nw[:], nn[:], ne[:]], axis=1)
+        mid = jnp.concatenate([ww[:], cc[:], ee[:]], axis=1)
+        bot = jnp.concatenate([sw[:], ss[:], se[:]], axis=1)
+        ext = jnp.concatenate([top, mid, bot], axis=0)
+
+        wr = _pair(wr_ref[:], mode)
+        ext_p = _pair(ext, mode)
+
+        def win(p, j):
+            a, (hi, lo) = p
+            sl = (slice(None), slice(256 * j, 256 * j + _WIN))
+            return (a[sl],
+                    ((hi[sl], lo[sl]) if hi is not None else (None, None)))
+
+        pieces = [_dot_f32(win(ext_p, j), wr, mode) for j in range(nj)]
+        S = jnp.concatenate([p[:, :128] for p in pieces], axis=1)
+        D = jnp.concatenate([p[:, 128:] for p in pieces], axis=1)
+        V = jnp.concatenate([S, D], axis=1)
+        Y = _dot_f32(_pair(wc_ref[:], mode), _pair(V, mode), mode)
+        tm2 = tm // 2
+        half = V.shape[1] // 2
+        ll_ref[:] = Y[:tm2, :half]
+        stash[0] = Y[:tm2, half:]
+        stash[1] = Y[tm2:, :half]
+        stash[2] = Y[tm2:, half:]
+
+    y_ref[:] = stash[q]
+
+
+def _mxu_packed_call(active, y, yshape, wt):
+    ml, nl = active.shape
+    M, N = yshape
+    tm, tn, hm = _plan(ml, nl, wt, active.dtype)
+    nj = tn // 256
+    bm, bn = tm // 2, tn // 2
+    nbr = ml // tm
+    nbc = nl // tn
+
+    def y_im(i, j, q):
+        return (i + ((q + 1) // 2) * nbr, j + (1 - (q % 2)) * nbc)
+
+    wr = _w_row(wt, active.dtype)
+    wc = _w_col(wt, tm, hm, active.dtype)
+    in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
+        pl.BlockSpec((_WIN, 256), lambda i, j, q: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, tm + 2 * hm), lambda i, j, q: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [active] * 9 + [wr, wc]
+    aliases = {}
+    if y is not None:
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        inputs = inputs + [y]
+        aliases = {11: 1}
+    return pl.pallas_call(
+        partial(_mxu_packed_kernel, nj=nj, tm=tm, hm=hm, mode=_mxu_mode(),
+                has_alias=y is not None),
+        grid=(ml // tm, nl // tn, 3),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((bm, bn), lambda i, j, q: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), y_im, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ml // 2, nl // 2), active.dtype),
+            jax.ShapeDtypeStruct((M, N), active.dtype),
+        ),
+        input_output_aliases=aliases,
+        scratch_shapes=[pltpu.VMEM((3, bm, bn), active.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+    )(*inputs)
+
+
+def mxu_level_fw_packed(active, y, wt):
+    """One forward level in packed mode via the MXU body; ``y`` is the
+    full-size packed buffer, donated and alias-chained (see
+    fused2d.level_fw_packed).  Returns (ll, y_out)."""
+    return _mxu_packed_call(active, y, y.shape, wt)
+
+
+def mxu_level_fw_packed_first(active, wt):
+    """Level-1 packed call allocating the full-size buffer.  Returns
+    (ll, y)."""
+    return _mxu_packed_call(active, None, active.shape, wt)
