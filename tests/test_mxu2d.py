@@ -200,3 +200,55 @@ def test_mxu_packed_pyramid_matches_quads(monkeypatch):
         assert np.abs(yp - ref).max() < 1e-3, (wname, "vs f64")
         assert np.abs(yp - yq).max() < 2e-4, (wname, "packed vs quads")
         assert np.abs(xr - x).max() < 1e-3, (wname, "roundtrip")
+
+
+def test_mxu_axis0_variants_match_vpu(monkeypatch):
+    """MXU axis-0 kernels (local + explicit-halo ext) agree with the VPU
+    roll-chain kernels and round-trip."""
+    from wavelets_tpu.ops.pallas import axis0 as A
+    rng = np.random.default_rng(90)
+    x = rng.standard_normal((256, 256)).astype(np.float32)
+    for wname, kind in (("cdf97", "lifting"), ("db4", "filter")):
+        wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+        halo = A._halo_of(wt)
+        monkeypatch.setenv("WAVELETS_TPU_MXU2D", "1")
+        with pltpu.force_tpu_interpret_mode():
+            y = np.asarray(A.axis0_level_fw(jnp.asarray(x), wt))
+            xr = np.asarray(A.axis0_level_inv(jnp.asarray(y), wt))
+        monkeypatch.setenv("WAVELETS_TPU_MXU2D", "0")
+        with pltpu.force_tpu_interpret_mode():
+            y0 = np.asarray(A.axis0_level_fw(jnp.asarray(x), wt))
+        monkeypatch.setenv("WAVELETS_TPU_MXU2D", "1")
+        assert np.abs(y - y0).max() < 1e-4, (wname, "fw vs vpu")
+        assert np.abs(xr - x).max() < 1e-4, (wname, "roundtrip")
+        above, below = jnp.asarray(x[-halo:]), jnp.asarray(x[:halo])
+        with pltpu.force_tpu_interpret_mode():
+            ye = np.asarray(A.axis0_level_fw_ext(above, jnp.asarray(x),
+                                                 below, wt))
+        assert np.abs(ye - y0).max() < 1e-4, (wname, "ext fw")
+        a_, d_ = y0[:128], y0[128:]
+        ah = (jnp.asarray(a_[-halo:]), jnp.asarray(a_[:halo]))
+        dh = (jnp.asarray(d_[-halo:]), jnp.asarray(d_[:halo]))
+        with pltpu.force_tpu_interpret_mode():
+            xe = np.asarray(A.axis0_level_inv_ext(
+                ah, jnp.asarray(a_), dh, jnp.asarray(d_), wt))
+        assert np.abs(xe - x).max() < 1e-4, (wname, "ext inv")
+
+
+def test_mxu_dwt1d_batched_matches_reference():
+    """Batched 1-D MXU levels match the per-row f64 reference and
+    round-trip (multi-level, tail fallback below the plan)."""
+    import jax
+    from wavelets_tpu.ops.pallas import dwt1d as D
+    rng = np.random.default_rng(91)
+    x = rng.standard_normal((32, 1024)).astype(np.float32)
+    L = 4
+    for wname, kind in (("cdf97", "lifting"), ("sym6", "filter")):
+        wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+        ref = np.asarray(jax.vmap(lambda r: w.dwt(r, wt, L))(
+            jnp.asarray(x.astype(np.float64))))
+        with pltpu.force_tpu_interpret_mode():
+            y = np.asarray(D.dwt1d_pallas(jnp.asarray(x), wt, L))
+            xr = np.asarray(D.idwt1d_pallas(jnp.asarray(y), wt, L))
+        assert np.abs(y - ref).max() < 2e-4, wname
+        assert np.abs(xr - x).max() < 2e-4, wname

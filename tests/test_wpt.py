@@ -98,3 +98,18 @@ def test_wpt_batched():
     yb = np.asarray(w.wpt(xb, wf, L=3))
     for i in range(3):
         assert np.allclose(yb[i], np.asarray(w.wpt(xb[i], wf, L=3)), atol=1e-12)
+
+
+def test_wpt_int_third_positional_is_levels():
+    """Reference L-or-tree overload: wpt(x, wt, 3) == wpt(x, wt, L=3)."""
+    import numpy as np
+    import wavelets_tpu as w
+    x = np.random.default_rng(5).standard_normal(256)
+    wt = w.wt.wavelet(w.wt.db2)
+    a = np.asarray(w.wpt(x, wt, 3))
+    b = np.asarray(w.wpt(x, wt, L=3))
+    assert np.array_equal(a, b)
+    assert np.abs(np.asarray(w.iwpt(a, wt, 3)) - x).max() < 1e-10
+    import pytest
+    with pytest.raises(ValueError):
+        w.wpt(x, wt, 3, L=4)

@@ -149,20 +149,35 @@ def axis0_level_fw(x, wt):
     tm = pick_col_tm(R, halo, cap=max(cap, 2 * halo))
     step = tm // halo
     nb = R // halo
+    in_specs = [
+        pl.BlockSpec((halo, tn), lambda i, j: ((i * step - 1) % nb, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((halo, tn), lambda i, j: (((i + 1) * step) % nb, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((2, tm // 2, tn), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((2, R // 2, C), x.dtype)
+    if _mxu_on() and _mxu_axis0_ok(x.dtype, tm, halo):
+        from .mxu2d import _w_col, _mxu_mode
+        wc = _w_col(wt, tm, halo, x.dtype)
+        out = pl.pallas_call(
+            partial(_fw_mxu_kernel, mode=_mxu_mode()),
+            grid=(R // tm, C // tn),
+            in_specs=in_specs + [pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
+                                              memory_space=pltpu.VMEM)],
+            out_specs=out_spec,
+            out_shape=out_shape,
+        )(x, x, x, wc)
+        return out.reshape(R, C)
     out = pl.pallas_call(
         partial(_fw_kernel, wt=wt, halo=halo),
         grid=(R // tm, C // tn),
-        in_specs=[
-            pl.BlockSpec((halo, tn), lambda i, j: ((i * step - 1) % nb, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tn), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((halo, tn), lambda i, j: (((i + 1) * step) % nb, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((2, tm // 2, tn), lambda i, j: (0, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, R // 2, C), x.dtype),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
     )(x, x, x)
     return out.reshape(R, C)
 
@@ -176,14 +191,29 @@ def axis0_level_inv(y, wt):
     tm = pick_col_tm(R // 2, halo, cap=max(min(cap, 512), 2 * halo))
     packed = y.reshape(2, R // 2, C)
     nb = (R // 2) // halo
+    in_specs = _halo_specs3(tm, halo, nb, tn, 0) \
+        + _halo_specs3(tm, halo, nb, tn, 1)
+    out_spec = pl.BlockSpec((2 * tm, tn), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((R, C), y.dtype)
+    if _mxu_on() and _mxu_axis0_ok(y.dtype, tm, halo) \
+            and _syn_fits(wt, halo):
+        from .mxu2d import _w_col_inv, _mxu_mode
+        wc = _w_col_inv(wt, 2 * tm, halo, y.dtype)
+        return pl.pallas_call(
+            partial(_inv_mxu_kernel, mode=_mxu_mode()),
+            grid=((R // 2) // tm, C // tn),
+            in_specs=in_specs + [pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
+                                              memory_space=pltpu.VMEM)],
+            out_specs=out_spec,
+            out_shape=out_shape,
+        )(packed, packed, packed, packed, packed, packed, wc)
     return pl.pallas_call(
         partial(_inv_kernel, wt=wt, halo=halo, tm=tm),
         grid=((R // 2) // tm, C // tn),
-        in_specs=_halo_specs3(tm, halo, nb, tn, 0)
-        + _halo_specs3(tm, halo, nb, tn, 1),
-        out_specs=pl.BlockSpec((2 * tm, tn), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, C), y.dtype),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
     )(packed, packed, packed, packed, packed, packed)
 
 
@@ -251,24 +281,39 @@ def axis0_level_fw_ext(above, x, below, wt):
     tm = pick_col_tm(R, halo, cap=max(cap, 2 * halo))
     step = tm // halo
     nb = R // halo
+    in_specs = [
+        pl.BlockSpec((halo, tn), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((halo, tn), lambda i, j: ((i * step - 1) % nb, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((halo, tn), lambda i, j: (((i + 1) * step) % nb, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((halo, tn), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((2, tm // 2, tn), lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((2, R // 2, C), x.dtype)
+    if _mxu_on() and _mxu_axis0_ok(x.dtype, tm, halo):
+        from .mxu2d import _w_col, _mxu_mode
+        wc = _w_col(wt, tm, halo, x.dtype)
+        out = pl.pallas_call(
+            partial(_fw_mxu_ext_kernel, mode=_mxu_mode()),
+            grid=(R // tm, C // tn),
+            in_specs=in_specs + [pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
+                                              memory_space=pltpu.VMEM)],
+            out_specs=out_spec,
+            out_shape=out_shape,
+        )(above, x, x, x, below, wc)
+        return out.reshape(R, C)
     out = pl.pallas_call(
         partial(_fw_ext_kernel, wt=wt, halo=halo),
         grid=(R // tm, C // tn),
-        in_specs=[
-            pl.BlockSpec((halo, tn), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((halo, tn), lambda i, j: ((i * step - 1) % nb, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, tn), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((halo, tn), lambda i, j: (((i + 1) * step) % nb, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((halo, tn), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((2, tm // 2, tn), lambda i, j: (0, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, R // 2, C), x.dtype),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
     )(above, x, x, x, below)
     return out.reshape(R, C)
 
@@ -340,12 +385,100 @@ def axis0_level_inv_ext(a_halos, a, b_halos, d, wt):
                             lambda i, j: (((i + 1) * step) % nb, j),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [hs("pad"), hs("top"), hs("mid"), hs("bot"), hs("pad"),
+                hs("pad"), hs("top"), hs("mid"), hs("bot"), hs("pad")]
+    out_spec = pl.BlockSpec((2 * tm, tn), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((2 * Rh, C), a.dtype)
+    if _mxu_on() and _mxu_axis0_ok(a.dtype, tm, halo) \
+            and _syn_fits(wt, halo):
+        from .mxu2d import _w_col_inv, _mxu_mode
+        wc = _w_col_inv(wt, 2 * tm, halo, a.dtype)
+        return pl.pallas_call(
+            partial(_inv_mxu_ext_kernel, mode=_mxu_mode()),
+            grid=(Rh // tm, C // tn),
+            in_specs=in_specs + [pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
+                                              memory_space=pltpu.VMEM)],
+            out_specs=out_spec,
+            out_shape=out_shape,
+        )(a_above, a, a, a, a_below, d_above, d, d, d, d_below, wc)
     return pl.pallas_call(
         partial(_inv_ext_kernel, wt=wt, halo=halo, tm=tm),
         grid=(Rh // tm, C // tn),
-        in_specs=[hs("pad"), hs("top"), hs("mid"), hs("bot"), hs("pad"),
-                  hs("pad"), hs("top"), hs("mid"), hs("bot"), hs("pad")],
-        out_specs=pl.BlockSpec((2 * tm, tn), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2 * Rh, C), a.dtype),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
     )(a_above, a, a, a, a_below, d_above, d, d, d, d_below)
+
+
+# --- MXU variants ------------------------------------------------------------
+#
+# The column chains above are VPU sublane-roll chains; the same level is
+# one banded matmul Y = W_c @ ext on the systolic array (see mxu2d.py's
+# column stage — the weights are reused from there, including the 3-pass
+# bf16-split f32 accumulation).  Measured on the 2-D level kernel the
+# matmul replaces the chain cost entirely; these variants bring that to
+# the axis-0 primitives used by the 3-D driver and the sharded path.
+
+def _mxu_on() -> bool:
+    import os
+    return os.environ.get("WAVELETS_TPU_MXU2D") != "0"
+
+
+def _mxu_axis0_ok(dtype, tm: int, halo: int) -> bool:
+    return np.dtype(dtype) == np.dtype(np.float32) and tm % 2 == 0
+
+
+def _syn_fits(wt, halo: int) -> bool:
+    """Synthesis band reach must fit the exchanged/ring halo rows."""
+    from .mxu2d import _syn_reach
+    lo, hi = _syn_reach(wt)
+    return max(lo, hi) <= halo
+
+
+def _fw_mxu_kernel(top_ref, mid_ref, bot_ref, wc_ref, o_ref, *, mode):
+    from .mxu2d import _dot_f32, _pair
+    ext = jnp.concatenate([top_ref[:], mid_ref[:], bot_ref[:]], axis=0)
+    Y = _dot_f32(_pair(wc_ref[:], mode), _pair(ext, mode), mode)
+    tm2 = Y.shape[0] // 2
+    o_ref[0] = Y[:tm2]
+    o_ref[1] = Y[tm2:]
+
+
+def _fw_mxu_ext_kernel(above_ref, top_ref, mid_ref, bot_ref, below_ref,
+                       wc_ref, o_ref, *, mode):
+    from .mxu2d import _dot_f32, _pair
+    i = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+    top = jnp.where(i == 0, above_ref[:], top_ref[:])
+    bot = jnp.where(i == last, below_ref[:], bot_ref[:])
+    ext = jnp.concatenate([top, mid_ref[:], bot], axis=0)
+    Y = _dot_f32(_pair(wc_ref[:], mode), _pair(ext, mode), mode)
+    tm2 = Y.shape[0] // 2
+    o_ref[0] = Y[:tm2]
+    o_ref[1] = Y[tm2:]
+
+
+def _inv_mxu_kernel(at_ref, ac_ref, ab_ref, dt_ref, dc_ref, db_ref,
+                    wc_ref, o_ref, *, mode):
+    from .mxu2d import _dot_f32, _pair
+    a = jnp.concatenate([at_ref[0], ac_ref[0], ab_ref[0]], axis=0)
+    d = jnp.concatenate([dt_ref[0], dc_ref[0], db_ref[0]], axis=0)
+    stacked = jnp.concatenate([a, d], axis=0)
+    o_ref[:] = _dot_f32(_pair(wc_ref[:], mode), _pair(stacked, mode), mode)
+
+
+def _inv_mxu_ext_kernel(aa_ref, at_ref, ac_ref, ab_ref, ba_ref,
+                        da_ref, dt_ref, dc_ref, db_ref, bd_ref,
+                        wc_ref, o_ref, *, mode):
+    from .mxu2d import _dot_f32, _pair
+    i = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+    at = jnp.where(i == 0, aa_ref[:], at_ref[:])
+    ab = jnp.where(i == last, ba_ref[:], ab_ref[:])
+    dtp = jnp.where(i == 0, da_ref[:], dt_ref[:])
+    dbt = jnp.where(i == last, bd_ref[:], db_ref[:])
+    a = jnp.concatenate([at, ac_ref[:], ab], axis=0)
+    d = jnp.concatenate([dtp, dc_ref[:], dbt], axis=0)
+    stacked = jnp.concatenate([a, d], axis=0)
+    o_ref[:] = _dot_f32(_pair(wc_ref[:], mode), _pair(stacked, mode), mode)

@@ -203,11 +203,19 @@ def pallas_ok(shape, wt, L: int, dtype) -> bool:
 
 
 def _level(x, wt, fw: bool):
-    """One packed level: steps + split (fw) / merge + steps (inv)."""
+    """One packed level: the MXU banded-matmul kernel when the plan
+    accepts (also the WPT batched-segment route), else steps + split
+    (fw) / merge + steps (inv)."""
+    mxu = _mxu_on() and _mxu_level_plan(*x.shape, wt, x.dtype) is not None
     if fw:
-        s, d = _split(_steps(x, wt, True))
+        if mxu:
+            s, d = _mxu_level_fw(x, wt)
+        else:
+            s, d = _split(_steps(x, wt, True))
         return jnp.concatenate([s, d], axis=-1)
     half = x.shape[-1] // 2
+    if mxu:
+        return _mxu_level_inv(x[:, :half], x[:, half:], wt)
     return _steps(_merge(x[:, :half], x[:, half:]), wt, False)
 
 
@@ -220,7 +228,9 @@ def dwt1d_pallas(x, wt, L: int):
     details = []
     for l in range(L):
         ns = n >> l
-        if _level_ok(b, ns, wt, x.dtype):
+        if _mxu_on() and _mxu_level_plan(b, ns, wt, x.dtype) is not None:
+            sd, d = _mxu_level_fw(s, wt)
+        elif _level_ok(b, ns, wt, x.dtype):
             sd, d = _split(_steps(s, wt, True))
         else:  # tiny tail level: jnp fallback
             z = _level_jnp(s, wt, fw=True)
@@ -238,7 +248,9 @@ def idwt1d_pallas(y, wt, L: int):
     for l in range(L, 0, -1):
         ns = n >> (l - 1)
         d = y[:, ns // 2: ns]
-        if _level_ok(b, ns, wt, y.dtype):
+        if _mxu_on() and _mxu_level_plan(b, ns, wt, y.dtype) is not None:
+            s = _mxu_level_inv(s, d, wt)
+        elif _level_ok(b, ns, wt, y.dtype):
             s = _steps(_merge(s, d), wt, False)
         else:
             z = jnp.concatenate([s, d], axis=-1)
@@ -259,3 +271,141 @@ def _level_jnp(z, wt, fw: bool):
         a, d = F.dwt_level(z, h, g)
         return jnp.concatenate([a, d], axis=-1)
     return F.idwt_level(z[..., :half], z[..., half:], h, g)
+
+
+# --- MXU level ---------------------------------------------------------------
+#
+# One banded matmul replaces the steps+split (and merge+steps) kernel
+# pair: lane-halo'd tiles hit the _w_row / _w_row_inv weights of
+# mxu2d.py (deinterleave baked in, 3-pass bf16-split f32 accumulation),
+# so a level costs 1 read + 1 write instead of 4 passes, with no
+# butterfly.  The scaling/detail bands come out as separate arrays —
+# exactly what the multi-level driver wants (one final concat).
+
+def _mxu_on() -> bool:
+    import os
+    return os.environ.get("WAVELETS_TPU_MXU2D") != "0"
+
+
+def _mxu_level_plan(b: int, n: int, wt, dtype):
+    from .mxu2d import _band_reach, _syn_reach
+    if np.dtype(dtype) != np.dtype(np.float32):
+        return None
+    lo, hi = _band_reach(wt)
+    lo2, hi2 = _syn_reach(wt)
+    if max(lo, hi, lo2, hi2) > 120:
+        return None
+    tn = next((c for c in (2048, 1024, 512, 256) if n % c == 0), None)
+    if tn is None or n % 128 or n // 128 < 2:
+        return None
+    budget = (12 << 20) // 4 // 10
+    tm = 512
+    while tm > 8 and (tm * (tn + 256) > budget or b % tm):
+        tm //= 2
+    if b % tm or tm * (tn + 256) > budget:
+        return None
+    return tm, tn
+
+
+def _lane_halo_specs(n: int, tm: int, tn: int):
+    """(left, center, right) lane-ring specs over a (B, n) array."""
+    nbn = n // 128
+    sn = tn // 128
+    return [
+        pl.BlockSpec((tm, 128), lambda i, j: (i, (j * sn - 1) % nbn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, 128), lambda i, j: (i, ((j + 1) * sn) % nbn),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _mxu_fw_kernel(l_ref, c_ref, r_ref, wr_ref, s_ref, d_ref, *, G, mode):
+    from .mxu2d import _dot_f32, _pair
+    ext = jnp.concatenate([l_ref[:], c_ref[:], r_ref[:]], axis=1)
+    tn = ext.shape[1] - 256
+    wr = _pair(wr_ref[:], mode)
+    ext_p = _pair(ext, mode)
+    w_ = 256 * G + 256
+
+    def win(p, j):
+        a, (hi, lo) = p
+        sl = (slice(None), slice(256 * G * j, 256 * G * j + w_))
+        return a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None))
+
+    pieces = [_dot_f32(win(ext_p, j), wr, mode)
+              for j in range(tn // (256 * G))]
+    s_ref[:] = jnp.concatenate([p[:, : 128 * G] for p in pieces], axis=1)
+    d_ref[:] = jnp.concatenate([p[:, 128 * G:] for p in pieces], axis=1)
+
+
+def _mxu_inv_kernel(sl_ref, sc_ref, sr_ref, dl_ref, dc_ref, dr_ref,
+                    wr_ref, o_ref, *, G, mode):
+    from .mxu2d import _dot_f32, _pair
+    s_ext = jnp.concatenate([sl_ref[:], sc_ref[:], sr_ref[:]], axis=1)
+    d_ext = jnp.concatenate([dl_ref[:], dc_ref[:], dr_ref[:]], axis=1)
+    wr = _pair(wr_ref[:], mode)
+    s_p = _pair(s_ext, mode)
+    d_p = _pair(d_ext, mode)
+    wv = 128 * G + 256
+
+    def win(p, j):
+        a, (hi, lo) = p
+        sl = (slice(None), slice(128 * G * j, 128 * G * j + wv))
+        return a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None))
+
+    nj = (s_ext.shape[1] - 256) // (128 * G)
+    pieces = []
+    for j in range(nj):
+        sa, (sh, sl_) = win(s_p, j)
+        da, (dh, dl) = win(d_p, j)
+        a = jnp.concatenate([sa, da], axis=1)
+        pair = (a, ((jnp.concatenate([sh, dh], axis=1),
+                     jnp.concatenate([sl_, dl], axis=1))
+                    if sh is not None else (None, None)))
+        pieces.append(_dot_f32(pair, wr, mode))
+    o_ref[:] = jnp.concatenate(pieces, axis=1)
+
+
+def _mxu_level_fw(x, wt):
+    """(B, n) -> ((B, n/2) scaling, (B, n/2) detail), one kernel."""
+    from .mxu2d import _w_row, _row_G, _mxu_mode
+    b, n = x.shape
+    tm, tn = _mxu_level_plan(b, n, wt, x.dtype)
+    G = _row_G(tn)
+    wr = _w_row(wt, x.dtype, G)
+    half_spec = pl.BlockSpec((tm, tn // 2), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_mxu_fw_kernel, G=G, mode=_mxu_mode()),
+        grid=(b // tm, n // tn),
+        in_specs=_lane_halo_specs(n, tm, tn) + [
+            pl.BlockSpec(wr.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=(half_spec, half_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, n // 2), x.dtype),
+                   jax.ShapeDtypeStruct((b, n // 2), x.dtype)),
+    )(x, x, x, wr)
+
+
+def _mxu_level_inv(s, d, wt):
+    """((B, n/2) scaling, (B, n/2) detail) -> (B, n), one kernel."""
+    from .mxu2d import _w_row_inv, _row_G, _mxu_mode
+    b, nh = s.shape
+    n = 2 * nh
+    tm, tn = _mxu_level_plan(b, n, wt, s.dtype)
+    tn2 = tn // 2
+    G = _row_G(tn)
+    wr = _w_row_inv(wt, s.dtype, G)
+    hs = _lane_halo_specs(nh, tm, tn2)
+    return pl.pallas_call(
+        partial(_mxu_inv_kernel, G=G, mode=_mxu_mode()),
+        grid=(b // tm, n // tn),
+        in_specs=hs + hs + [
+            pl.BlockSpec(wr.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), s.dtype),
+    )(s, s, s, d, d, d, wr)

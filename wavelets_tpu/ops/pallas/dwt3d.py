@@ -20,7 +20,11 @@ __all__ = ["dwt3_pallas", "idwt3_pallas", "pallas_ok"]
 
 def _level_ok(shape, wt, dtype) -> bool:
     dd, mm, nn = shape
-    return (dwt1d._level_ok(dd * mm, nn, wt, dtype)
+    rows_ok = (dwt1d._level_ok(dd * mm, nn, wt, dtype)
+               or (dwt1d._mxu_on()
+                   and dwt1d._mxu_level_plan(dd * mm, nn, wt, dtype)
+                   is not None))
+    return (rows_ok
             and axis0.axis0_ok(mm, nn, wt, dtype)
             and axis0.axis0_ok(dd, mm * nn, wt, dtype))
 
@@ -40,8 +44,26 @@ def _fused2d_on(shape, wt, dtype) -> bool:
     return fused2d.fused_ok(mm, nn, wt, dtype)
 
 
+def _mxu2d_on(shape, wt, dtype) -> bool:
+    import os
+    if os.environ.get("WAVELETS_TPU_MXU2D") == "0":
+        return False
+    from . import mxu2d
+    dd, mm, nn = shape
+    return mxu2d.mxu_ok(mm, nn, wt, dtype)
+
+
 def _level_fw(active, wt):
     dd, mm, nn = active.shape
+    if _mxu2d_on(active.shape, wt, active.dtype):
+        # rows+cols of every slab via the MXU level kernel, then planes
+        from . import mxu2d
+        ll, lh, hl, hh = jax.vmap(
+            lambda s: mxu2d.mxu_level_fw_quads(s, wt))(active)
+        z = jnp.concatenate([jnp.concatenate([ll, lh], -1),
+                             jnp.concatenate([hl, hh], -1)], -2)
+        z = axis0.axis0_level_fw(z.reshape(dd, mm * nn), wt)
+        return z.reshape(dd, mm, nn)
     if _fused2d_on(active.shape, wt, active.dtype):
         # rows+cols of every slab in ONE vmapped fused pass (~2.3 HBM
         # passes instead of 4), then the plane axis
@@ -66,7 +88,12 @@ def _level_inv(active, wt):
     z = axis0.axis0_level_inv(active.reshape(dd, mm * nn), wt)
     z = z.reshape(dd, mm, nn)
     import os
-    from . import fused2d
+    from . import fused2d, mxu2d
+    if os.environ.get("WAVELETS_TPU_MXU2D") != "0" and \
+            mxu2d.mxu_inv_ok(mm, nn, wt, active.dtype):
+        return jax.vmap(
+            lambda s: mxu2d.mxu_inv_packed(s, s[: mm // 2, : nn // 2],
+                                           (mm, nn), wt))(z)
     if os.environ.get("WAVELETS_TPU_FUSED_INV") == "1" and \
             _fused2d_on(active.shape, wt, active.dtype) and \
             fused2d.fused_inv_ok(mm, nn, wt, active.dtype):

@@ -307,7 +307,7 @@ def _packed_call(active, y, yshape, wt):
     inputs = [active] * 9
     aliases = {}
     if y is not None:
-        in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
         inputs = inputs + [y]
         aliases = {9: 1}
     return pl.pallas_call(

@@ -114,16 +114,22 @@ def _band_reach(wt):
     return int(-deltas.min()), int(deltas.max())
 
 
-def _w_row(wt, dtype):
-    """(512, 256) weight block: window lanes [256j - 128, 256j + 384)
-    -> output lanes [s-block j | d-block j] (128 + 128)."""
+def _w_row(wt, dtype, G=1):
+    """(256G + 256, 256G) weight block: window lanes
+    [256G·j - 128, 256G·j + 256G + 128) -> output lanes
+    [s-block (128G) | d-block (128G)].
+
+    ``G`` output groups share one window: the 128-lane margins amortize
+    over 256G interior lanes, cutting K-per-output from 2.0 (G=1) to
+    1 + 1/G — a 25% row-FLOP saving at G=2 for free (the band reach is
+    far below the margin)."""
     ds, cs, dd, cd = level_bands(wt)
-    W = np.zeros((_WIN, 256), np.float64)
-    for o in range(128):
+    W = np.zeros((256 * G + 256, 256 * G), np.float64)
+    for o in range(128 * G):
         for delta, c in zip(ds, cs):
             W[_HN + 2 * o + delta, o] += c
         for delta, c in zip(dd, cd):
-            W[_HN + 2 * o + delta, 128 + o] += c
+            W[_HN + 2 * o + delta, 128 * G + o] += c
     return jnp.asarray(W.astype(dtype))
 
 
@@ -149,7 +155,9 @@ def _plan(m: int, n: int, wt, dtype):
         return None
     hm = roundup(max(lo, hi, 1), 8)
     tn = next((c for c in (2048, 1024, 512, 256) if n % c == 0), None)
-    if tn is None or n % _HN or n // _HN < 3:
+    # torus-wrapped halo index maps are correct for any granule count
+    # >= 2 (left of granule 0 is the last granule)
+    if tn is None or n % _HN or n // _HN < 2:
         return None
     tm = 128
     while tm >= 2 * hm:
@@ -158,7 +166,7 @@ def _plan(m: int, n: int, wt, dtype):
         tm //= 2
     else:
         return None
-    if m // hm < 3:
+    if m // hm < 2:
         return None
     return tm, tn, hm
 
@@ -208,61 +216,84 @@ def _pair(a, mode):
     return a, (None, None)
 
 
-def _mxu_kernel(*refs, nj, tm, hm, mode):
-    ins, wr_ref, wc_ref = refs[:9], refs[9], refs[10]
-    outs = refs[11:]
+def _row_G(tn: int) -> int:
+    """Output groups per shared window (see _w_row).
+
+    Default 1: despite the 25% K-FLOP saving, G=2 measured consistently
+    ~0.7-1 ms SLOWER on the L8 8192^2 pyramid (bit-identical results) —
+    the wider (768, 512) weight appears to tile worse on the MXU than
+    the (512, 256) block.  WAVELETS_TPU_MXU_G=2 re-enables for
+    experiments."""
+    import os
+    cap = int(os.environ.get("WAVELETS_TPU_MXU_G", "1"))
+    return 2 if (tn % 512 == 0 and cap >= 2) else 1
+
+
+def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, G):
+    """Shared forward compute: 9 halo refs + weight refs -> the four
+    (tm/2, tn/2) quadrant tiles."""
     nw, nn, ne, ww, cc, ee, sw, ss, se = ins
     top = jnp.concatenate([nw[:], nn[:], ne[:]], axis=1)
     mid = jnp.concatenate([ww[:], cc[:], ee[:]], axis=1)
     bot = jnp.concatenate([sw[:], ss[:], se[:]], axis=1)
     ext = jnp.concatenate([top, mid, bot], axis=0)   # (tm + 2hm, tn + 256)
+    tn = ext.shape[1] - 256
 
     wr = _pair(wr_ref[:], mode)
     ext_p = _pair(ext, mode)
+    w_ = 256 * G + 256
 
     def win(p, j):
         a, (hi, lo) = p
-        sl = (slice(None), slice(256 * j, 256 * j + _WIN))
+        sl = (slice(None), slice(256 * G * j, 256 * G * j + w_))
         return (a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None)))
 
-    pieces = [_dot_f32(win(ext_p, j), wr, mode) for j in range(nj)]
-    S = jnp.concatenate([p[:, :128] for p in pieces], axis=1)
-    D = jnp.concatenate([p[:, 128:] for p in pieces], axis=1)
+    pieces = [_dot_f32(win(ext_p, j), wr, mode)
+              for j in range(tn // (256 * G))]
+    S = jnp.concatenate([p[:, : 128 * G] for p in pieces], axis=1)
+    D = jnp.concatenate([p[:, 128 * G:] for p in pieces], axis=1)
     V = jnp.concatenate([S, D], axis=1)              # (tm + 2hm, tn)
 
     Y = _dot_f32(_pair(wc_ref[:], mode), _pair(V, mode), mode)
     tm2 = tm // 2
     half = V.shape[1] // 2
-    outs[0][:] = Y[:tm2, :half]
-    outs[1][:] = Y[:tm2, half:]
-    outs[2][:] = Y[tm2:, :half]
-    outs[3][:] = Y[tm2:, half:]
+    return (Y[:tm2, :half], Y[:tm2, half:],
+            Y[tm2:, :half], Y[tm2:, half:])
+
+
+def _mxu_kernel(*refs, tm, mode, G):
+    ins, wr_ref, wc_ref = refs[:9], refs[9], refs[10]
+    outs = refs[11:]
+    ll, lh, hl, hh = _fw_quads_body(ins, wr_ref, wc_ref, tm=tm, mode=mode,
+                                    G=G)
+    outs[0][:] = ll
+    outs[1][:] = lh
+    outs[2][:] = hl
+    outs[3][:] = hh
 
 
 def mxu_level_fw_quads(x, wt):
     """One forward 2-D level -> (ll, lh, hl, hh) via two banded matmuls."""
     m, n = x.shape
     tm, tn, hm = _plan(m, n, wt, x.dtype)
-    nj = tn // 256
-    wr = _w_row(wt, x.dtype)
+    G = _row_G(tn)
+    wr = _w_row(wt, x.dtype, G)
     wc = _w_col(wt, tm, hm, x.dtype)
     qshape = jax.ShapeDtypeStruct((m // 2, n // 2), x.dtype)
     qspec = pl.BlockSpec((tm // 2, tn // 2), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
     in_specs = _halo_in_specs(m, n, tm, tn, hm, _HN) + [
-        pl.BlockSpec((_WIN, 256), lambda i, j: (0, 0),
+        pl.BlockSpec(wr.shape, lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tm, tm + 2 * hm), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
-        partial(_mxu_kernel, nj=nj, tm=tm, hm=hm, mode=_mxu_mode()),
+        partial(_mxu_kernel, tm=tm, mode=_mxu_mode(), G=G),
         grid=(m // tm, n // tn),
         in_specs=in_specs,
         out_specs=(qspec,) * 4,
         out_shape=(qshape,) * 4,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
     )(*([x] * 9), wr, wc)
 
 
@@ -280,7 +311,7 @@ def mxu_level_fw_quads(x, wt):
 # src/Transforms/transforms_filter.jl:380-395 and the inverse lifting
 # chain of transforms_lifting.jl:485-560.
 
-_WINV = 384         # synthesis lane window per 128-pair output group
+
 
 
 def synthesis_bands(wt):
@@ -320,21 +351,23 @@ def _syn_reach(wt):
     return int(-deltas.min()), int(deltas.max())
 
 
-def _w_row_inv(wt, dtype):
-    """(768, 256) synthesis weight block: [s-window | d-window] lanes
-    (each 384 = 128 halo + 128 pairs + 128 halo) -> 256 interleaved
-    output lanes."""
+def _w_row_inv(wt, dtype, G=1):
+    """(2·(128G + 256), 256G) synthesis weight block: [s-window |
+    d-window] lanes (each 128G pairs + 128-lane margins) -> 256G
+    interleaved output lanes.  As in _w_row, G output groups share one
+    window's margins (K-per-output 3.0 at G=1 -> 2.0 at G=2)."""
     (dS0, cS0), (dD0, cD0), (dS1, cS1), (dD1, cD1) = synthesis_bands(wt)
-    W = np.zeros((2 * _WINV, 256), np.float64)
-    for o in range(128):
+    wv = 128 * G + 256
+    W = np.zeros((2 * wv, 256 * G), np.float64)
+    for o in range(128 * G):
         for dlt, c in zip(dS0, cS0):
             W[128 + o + dlt, 2 * o] += c
         for dlt, c in zip(dD0, cD0):
-            W[_WINV + 128 + o + dlt, 2 * o] += c
+            W[wv + 128 + o + dlt, 2 * o] += c
         for dlt, c in zip(dS1, cS1):
             W[128 + o + dlt, 2 * o + 1] += c
         for dlt, c in zip(dD1, cD1):
-            W[_WINV + 128 + o + dlt, 2 * o + 1] += c
+            W[wv + 128 + o + dlt, 2 * o + 1] += c
     return jnp.asarray(W.astype(dtype))
 
 
@@ -369,7 +402,9 @@ def _plan_inv(ml: int, nl: int, wt, dtype):
     hn2 = 128
     mh, nh = ml // 2, nl // 2
     tn = next((c for c in (2048, 1024, 512, 256) if nl % c == 0), None)
-    if tn is None or nh % hn2 or nh // hn2 < 3:
+    # a single lane granule is still correct: its periodic neighbor is
+    # itself (whole quadrant row in one tile)
+    if tn is None or nh % hn2 or nh // hn2 < 1:
         return None
     tm = 128
     while tm >= 4 * hm2:
@@ -379,7 +414,7 @@ def _plan_inv(ml: int, nl: int, wt, dtype):
         tm //= 2
     else:
         return None
-    if mh // hm2 < 3:
+    if mh // hm2 < 2:
         return None
     # VMEM live-set estimate: 4 quadrant exts + Xs/Xd + out + bf16 splits
     tn2 = tn // 2
@@ -394,7 +429,7 @@ def mxu_inv_ok(ml: int, nl: int, wt, dtype) -> bool:
     return _plan_inv(ml, nl, wt, dtype) is not None
 
 
-def _mxu_inv_kernel(*refs, nj, mode):
+def _mxu_inv_kernel(*refs, nj, mode, G):
     groups = [refs[9 * k: 9 * (k + 1)] for k in range(4)]
     wc_ref, wr_ref = refs[36], refs[37]
     o_ref = refs[38]
@@ -415,9 +450,11 @@ def _mxu_inv_kernel(*refs, nj, mode):
     Xs_p = _pair(Xs, mode)
     Xd_p = _pair(Xd, mode)
 
+    wv = 128 * G + 256
+
     def win(p, j):
         a, (hi, lo) = p
-        sl = (slice(None), slice(128 * j, 128 * j + _WINV))
+        sl = (slice(None), slice(128 * G * j, 128 * G * j + wv))
         return a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None))
 
     def wincat(j):
@@ -442,21 +479,21 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
         in_specs += _inv_group_specs(plan, ml, nl, src.shape, off)
         inputs += [src] * 9
     dt = srcs[0].dtype
-    wr = _w_row_inv(wt, dt)
+    G = _row_G(tn)       # window sharing needs tn % 512 == 0, like fw
+    wr = _w_row_inv(wt, dt, G)
     wc = _w_col_inv(wt, tm, hm2, dt)
     in_specs += [
         pl.BlockSpec(wc.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(wr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
-        partial(_mxu_inv_kernel, nj=(tn // 2) // 128, mode=_mxu_mode()),
+        partial(_mxu_inv_kernel, nj=(tn // 2) // (128 * G),
+                mode=_mxu_mode(), G=G),
         grid=(ml // tm, nl // tn),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ml, nl), dt),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
     )(*inputs, wc, wr)
 
 
@@ -494,7 +531,7 @@ def mxu_packed_ok(m: int, n: int, wt, dtype) -> bool:
     return (m // 2) % (tm // 2) == 0 and (n // 2) % (tn // 2) == 0
 
 
-def _mxu_packed_kernel(*refs, nj, tm, hm, mode, has_alias):
+def _mxu_packed_kernel(*refs, tm, mode, G, has_alias):
     if has_alias:
         (ins, wr_ref, wc_ref, _yin, ll_ref, y_ref, stash) = (
             refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
@@ -506,32 +543,12 @@ def _mxu_packed_kernel(*refs, nj, tm, hm, mode, has_alias):
 
     @pl.when(q == 0)
     def _():
-        nw, nn, ne, ww, cc, ee, sw, ss, se = ins
-        top = jnp.concatenate([nw[:], nn[:], ne[:]], axis=1)
-        mid = jnp.concatenate([ww[:], cc[:], ee[:]], axis=1)
-        bot = jnp.concatenate([sw[:], ss[:], se[:]], axis=1)
-        ext = jnp.concatenate([top, mid, bot], axis=0)
-
-        wr = _pair(wr_ref[:], mode)
-        ext_p = _pair(ext, mode)
-
-        def win(p, j):
-            a, (hi, lo) = p
-            sl = (slice(None), slice(256 * j, 256 * j + _WIN))
-            return (a[sl],
-                    ((hi[sl], lo[sl]) if hi is not None else (None, None)))
-
-        pieces = [_dot_f32(win(ext_p, j), wr, mode) for j in range(nj)]
-        S = jnp.concatenate([p[:, :128] for p in pieces], axis=1)
-        D = jnp.concatenate([p[:, 128:] for p in pieces], axis=1)
-        V = jnp.concatenate([S, D], axis=1)
-        Y = _dot_f32(_pair(wc_ref[:], mode), _pair(V, mode), mode)
-        tm2 = tm // 2
-        half = V.shape[1] // 2
-        ll_ref[:] = Y[:tm2, :half]
-        stash[0] = Y[:tm2, half:]
-        stash[1] = Y[tm2:, :half]
-        stash[2] = Y[tm2:, half:]
+        ll, lh, hl, hh = _fw_quads_body(ins, wr_ref, wc_ref, tm=tm,
+                                        mode=mode, G=G)
+        ll_ref[:] = ll
+        stash[0] = lh
+        stash[1] = hl
+        stash[2] = hh
 
     y_ref[:] = stash[q]
 
@@ -540,7 +557,7 @@ def _mxu_packed_call(active, y, yshape, wt):
     ml, nl = active.shape
     M, N = yshape
     tm, tn, hm = _plan(ml, nl, wt, active.dtype)
-    nj = tn // 256
+    G = _row_G(tn)
     bm, bn = tm // 2, tn // 2
     nbr = ml // tm
     nbc = nl // tn
@@ -548,10 +565,10 @@ def _mxu_packed_call(active, y, yshape, wt):
     def y_im(i, j, q):
         return (i + ((q + 1) // 2) * nbr, j + (1 - (q % 2)) * nbc)
 
-    wr = _w_row(wt, active.dtype)
+    wr = _w_row(wt, active.dtype, G)
     wc = _w_col(wt, tm, hm, active.dtype)
     in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
-        pl.BlockSpec((_WIN, 256), lambda i, j, q: (0, 0),
+        pl.BlockSpec(wr.shape, lambda i, j, q: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tm, tm + 2 * hm), lambda i, j, q: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -559,11 +576,11 @@ def _mxu_packed_call(active, y, yshape, wt):
     inputs = [active] * 9 + [wr, wc]
     aliases = {}
     if y is not None:
-        in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
         inputs = inputs + [y]
         aliases = {11: 1}
     return pl.pallas_call(
-        partial(_mxu_packed_kernel, nj=nj, tm=tm, hm=hm, mode=_mxu_mode(),
+        partial(_mxu_packed_kernel, tm=tm, mode=_mxu_mode(), G=G,
                 has_alias=y is not None),
         grid=(ml // tm, nl // tn, 3),
         in_specs=in_specs,

@@ -223,14 +223,27 @@ def wpt(x, wt: DiscreteWavelet, tree=None, L: int | None = None, *,
     """Wavelet packet transform along the last axis.
 
     ``tree`` is a bool heap vector (see utils.maketree); if omitted, a full
-    L-level tree is used.  ``donate=True`` = the reference's ``wpt!``.
+    L-level tree is used.  An integer third positional is accepted as ``L``
+    (the reference's L-or-tree overload, transforms_main.jl:134-176).
+    ``donate=True`` = the reference's ``wpt!``.
     """
+    tree, L = _tree_or_levels(tree, L)
     return _wpt_common(x, wt, tree, L, fw=True, donate=donate)
+
+
+def _tree_or_levels(tree, L):
+    """The reference's L-or-tree third-positional overload."""
+    if isinstance(tree, (int, np.integer)):
+        if L is not None and L != tree:
+            raise ValueError("give either tree or L, not both")
+        return None, int(tree)
+    return tree, L
 
 
 def iwpt(y, wt: DiscreteWavelet, tree=None, L: int | None = None, *,
          donate: bool = False):
-    """Inverse of :func:`wpt`."""
+    """Inverse of :func:`wpt` (also accepts an integer as ``L``)."""
+    tree, L = _tree_or_levels(tree, L)
     return _wpt_common(y, wt, tree, L, fw=False, donate=donate)
 
 
