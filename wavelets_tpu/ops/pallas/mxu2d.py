@@ -114,22 +114,21 @@ def _band_reach(wt):
     return int(-deltas.min()), int(deltas.max())
 
 
-def _w_row(wt, dtype, G=1):
-    """(256G + 256, 256G) weight block: window lanes
-    [256G·j - 128, 256G·j + 256G + 128) -> output lanes
+def _w_row(wt, dtype, G=1, m=_HN):
+    """(256G + 2m, 256G) weight block: window lanes
+    [256G·j - m, 256G·j + 256G + m) -> output lanes
     [s-block (128G) | d-block (128G)].
 
-    ``G`` output groups share one window: the 128-lane margins amortize
-    over 256G interior lanes, cutting K-per-output from 2.0 (G=1) to
-    1 + 1/G — a 25% row-FLOP saving at G=2 for free (the band reach is
-    far below the margin)."""
+    ``G`` output groups share one window: the margins amortize over 256G
+    interior lanes.  ``m`` is the lane margin (see _row_margin); the
+    weight is (256G + 2m, 256G)."""
     ds, cs, dd, cd = level_bands(wt)
-    W = np.zeros((256 * G + 256, 256 * G), np.float64)
+    W = np.zeros((256 * G + 2 * m, 256 * G), np.float64)
     for o in range(128 * G):
         for delta, c in zip(ds, cs):
-            W[_HN + 2 * o + delta, o] += c
+            W[m + 2 * o + delta, o] += c
         for delta, c in zip(dd, cd):
-            W[_HN + 2 * o + delta, 128 * G + o] += c
+            W[m + 2 * o + delta, 128 * G + o] += c
     return jnp.asarray(W.astype(dtype))
 
 
@@ -229,7 +228,24 @@ def _row_G(tn: int) -> int:
     return 2 if (tn % 512 == 0 and cap >= 2) else 1
 
 
-def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, G):
+def _row_margin(wt) -> int:
+    """Lane margin of the shared row windows.
+
+    The band reach is tiny (<= ~24 lanes for every stock wavelet), so a
+    32-granule margin instead of the full 128-lane halo granule cuts the
+    row-dot K from 512 to 320 per 256 outputs (37% fewer row FLOPs);
+    the windows land on 32-aligned ext offsets.  WAVELETS_TPU_MXU_MARGIN
+    overrides (e.g. =128 restores the halo-granule windows)."""
+    import os
+    ov = os.environ.get("WAVELETS_TPU_MXU_MARGIN")
+    if ov:
+        return int(ov)
+    lo, hi = _band_reach(wt)
+    lo2, hi2 = _syn_reach(wt)
+    return min(128, roundup(max(lo, hi, lo2, hi2, 1), 32))
+
+
+def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, G, m=_HN):
     """Shared forward compute: 9 halo refs + weight refs -> the four
     (tm/2, tn/2) quadrant tiles."""
     nw, nn, ne, ww, cc, ee, sw, ss, se = ins
@@ -241,11 +257,12 @@ def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, G):
 
     wr = _pair(wr_ref[:], mode)
     ext_p = _pair(ext, mode)
-    w_ = 256 * G + 256
+    w_ = 256 * G + 2 * m
+    off = _HN - m       # ext offset of window j = 256G·j + off
 
     def win(p, j):
         a, (hi, lo) = p
-        sl = (slice(None), slice(256 * G * j, 256 * G * j + w_))
+        sl = (slice(None), slice(256 * G * j + off, 256 * G * j + off + w_))
         return (a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None)))
 
     pieces = [_dot_f32(win(ext_p, j), wr, mode)
@@ -261,11 +278,11 @@ def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, G):
             Y[tm2:, :half], Y[tm2:, half:])
 
 
-def _mxu_kernel(*refs, tm, mode, G):
+def _mxu_kernel(*refs, tm, mode, G, m):
     ins, wr_ref, wc_ref = refs[:9], refs[9], refs[10]
     outs = refs[11:]
     ll, lh, hl, hh = _fw_quads_body(ins, wr_ref, wc_ref, tm=tm, mode=mode,
-                                    G=G)
+                                    G=G, m=m)
     outs[0][:] = ll
     outs[1][:] = lh
     outs[2][:] = hl
@@ -277,7 +294,8 @@ def mxu_level_fw_quads(x, wt):
     m, n = x.shape
     tm, tn, hm = _plan(m, n, wt, x.dtype)
     G = _row_G(tn)
-    wr = _w_row(wt, x.dtype, G)
+    mr = _row_margin(wt)
+    wr = _w_row(wt, x.dtype, G, mr)
     wc = _w_col(wt, tm, hm, x.dtype)
     qshape = jax.ShapeDtypeStruct((m // 2, n // 2), x.dtype)
     qspec = pl.BlockSpec((tm // 2, tn // 2), lambda i, j: (i, j),
@@ -289,7 +307,7 @@ def mxu_level_fw_quads(x, wt):
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
-        partial(_mxu_kernel, tm=tm, mode=_mxu_mode(), G=G),
+        partial(_mxu_kernel, tm=tm, mode=_mxu_mode(), G=G, m=mr),
         grid=(m // tm, n // tn),
         in_specs=in_specs,
         out_specs=(qspec,) * 4,
@@ -351,23 +369,23 @@ def _syn_reach(wt):
     return int(-deltas.min()), int(deltas.max())
 
 
-def _w_row_inv(wt, dtype, G=1):
-    """(2·(128G + 256), 256G) synthesis weight block: [s-window |
-    d-window] lanes (each 128G pairs + 128-lane margins) -> 256G
-    interleaved output lanes.  As in _w_row, G output groups share one
-    window's margins (K-per-output 3.0 at G=1 -> 2.0 at G=2)."""
+def _w_row_inv(wt, dtype, G=1, m=_HN):
+    """(2·(128G + 2m), 256G) synthesis weight block: [s-window |
+    d-window] lanes (each 128G pairs + m-lane margins) -> 256G
+    interleaved output lanes.  G output groups share one window's
+    margins; m is the lane margin (see _row_margin)."""
     (dS0, cS0), (dD0, cD0), (dS1, cS1), (dD1, cD1) = synthesis_bands(wt)
-    wv = 128 * G + 256
+    wv = 128 * G + 2 * m
     W = np.zeros((2 * wv, 256 * G), np.float64)
     for o in range(128 * G):
         for dlt, c in zip(dS0, cS0):
-            W[128 + o + dlt, 2 * o] += c
+            W[m + o + dlt, 2 * o] += c
         for dlt, c in zip(dD0, cD0):
-            W[wv + 128 + o + dlt, 2 * o] += c
+            W[wv + m + o + dlt, 2 * o] += c
         for dlt, c in zip(dS1, cS1):
-            W[128 + o + dlt, 2 * o + 1] += c
+            W[m + o + dlt, 2 * o + 1] += c
         for dlt, c in zip(dD1, cD1):
-            W[wv + 128 + o + dlt, 2 * o + 1] += c
+            W[wv + m + o + dlt, 2 * o + 1] += c
     return jnp.asarray(W.astype(dtype))
 
 
@@ -429,7 +447,7 @@ def mxu_inv_ok(ml: int, nl: int, wt, dtype) -> bool:
     return _plan_inv(ml, nl, wt, dtype) is not None
 
 
-def _mxu_inv_kernel(*refs, nj, mode, G):
+def _mxu_inv_kernel(*refs, nj, mode, G, m):
     groups = [refs[9 * k: 9 * (k + 1)] for k in range(4)]
     wc_ref, wr_ref = refs[36], refs[37]
     o_ref = refs[38]
@@ -450,11 +468,12 @@ def _mxu_inv_kernel(*refs, nj, mode, G):
     Xs_p = _pair(Xs, mode)
     Xd_p = _pair(Xd, mode)
 
-    wv = 128 * G + 256
+    wv = 128 * G + 2 * m
+    off = _HN - m       # ext offset of window j = 128G·j + off
 
     def win(p, j):
         a, (hi, lo) = p
-        sl = (slice(None), slice(128 * G * j, 128 * G * j + wv))
+        sl = (slice(None), slice(128 * G * j + off, 128 * G * j + off + wv))
         return a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None))
 
     def wincat(j):
@@ -480,7 +499,8 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
         inputs += [src] * 9
     dt = srcs[0].dtype
     G = _row_G(tn)       # window sharing needs tn % 512 == 0, like fw
-    wr = _w_row_inv(wt, dt, G)
+    mr = _row_margin(wt)
+    wr = _w_row_inv(wt, dt, G, mr)
     wc = _w_col_inv(wt, tm, hm2, dt)
     in_specs += [
         pl.BlockSpec(wc.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -488,7 +508,7 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
     ]
     return pl.pallas_call(
         partial(_mxu_inv_kernel, nj=(tn // 2) // (128 * G),
-                mode=_mxu_mode(), G=G),
+                mode=_mxu_mode(), G=G, m=mr),
         grid=(ml // tm, nl // tn),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
@@ -531,7 +551,7 @@ def mxu_packed_ok(m: int, n: int, wt, dtype) -> bool:
     return (m // 2) % (tm // 2) == 0 and (n // 2) % (tn // 2) == 0
 
 
-def _mxu_packed_kernel(*refs, tm, mode, G, has_alias):
+def _mxu_packed_kernel(*refs, tm, mode, G, m, has_alias):
     if has_alias:
         (ins, wr_ref, wc_ref, _yin, ll_ref, y_ref, stash) = (
             refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
@@ -544,7 +564,7 @@ def _mxu_packed_kernel(*refs, tm, mode, G, has_alias):
     @pl.when(q == 0)
     def _():
         ll, lh, hl, hh = _fw_quads_body(ins, wr_ref, wc_ref, tm=tm,
-                                        mode=mode, G=G)
+                                        mode=mode, G=G, m=m)
         ll_ref[:] = ll
         stash[0] = lh
         stash[1] = hl
@@ -565,7 +585,8 @@ def _mxu_packed_call(active, y, yshape, wt):
     def y_im(i, j, q):
         return (i + ((q + 1) // 2) * nbr, j + (1 - (q % 2)) * nbc)
 
-    wr = _w_row(wt, active.dtype, G)
+    mr = _row_margin(wt)
+    wr = _w_row(wt, active.dtype, G, mr)
     wc = _w_col(wt, tm, hm, active.dtype)
     in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
         pl.BlockSpec(wr.shape, lambda i, j, q: (0, 0),
@@ -580,7 +601,7 @@ def _mxu_packed_call(active, y, yshape, wt):
         inputs = inputs + [y]
         aliases = {11: 1}
     return pl.pallas_call(
-        partial(_mxu_packed_kernel, tm=tm, mode=_mxu_mode(), G=G,
+        partial(_mxu_packed_kernel, tm=tm, mode=_mxu_mode(), G=G, m=mr,
                 has_alias=y is not None),
         grid=(ml // tm, nl // tn, 3),
         in_specs=in_specs,
