@@ -13,6 +13,17 @@ the reference's in-bounds fast path and its mod1 boundary path).  XLA fuses
 the whole step chain into a handful of elementwise kernels; the fused
 Pallas versions live in ops/pallas/lifting2d.py and ops/pallas/fused2d.py.
 
+Boundaries beyond periodic (an extension — the reference declares
+ZPBoundary/SymBoundary but implements neither, src/WT/wt_main.jl:33-49):
+because each lifting step reads only the *other*, fully-known half, the
+inverse can re-apply the identical extension and subtract it back, so ANY
+deterministic extension rule gives exact reconstruction at same-size
+coefficient arrays.  "zeropad" treats out-of-range reads as 0; "symmetric"
+uses half-sample reflection (ext[-j] = x[j-1], ext[n-1+j] = x[n-j]) of the
+kept half at every level.  A step's roll wraps at most |shift - k| edge
+entries, so the non-periodic variants are the periodic roll plus an O(|sh|)
+edge overwrite — XLA fuses the fix-up into the same elementwise kernel.
+
 Forward: split even/odd -> steps with negated coefficients -> scale halves
 by (norm1, norm2).  Inverse: scale by reciprocals -> steps reversed with
 original coefficients -> re-interleave.  (makescheme,
@@ -23,7 +34,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..wt.carriers import GLS
+from ..wt.carriers import GLS, PERIODIC
 from ..wt.schemes import PREDICT
 
 __all__ = [
@@ -50,12 +61,39 @@ def merge_last(s, d):
     return jnp.stack([s, d], axis=-1).reshape(*s.shape[:-1], n)
 
 
-def _step_sum(src, coef, shift: int):
-    """sum_k coef[k] * src[(i + k - shift) mod half] as rolls along -1."""
+def _fix_edges(term, src, sh: int, boundary: str):
+    """Overwrite the |sh| entries of ``term = roll(src, sh)`` that wrapped
+    around, with the boundary-extension values src_ext[i - sh] instead.
+
+    Half-sample symmetric reflection: ext[-j] = src[j-1] means positions
+    [0, sh) read flip(src[:sh]); ext[n-1+j] = src[n-j] means positions
+    [n+sh, n) read flip(src[sh:]).  Exact for |sh| <= n (checked by the
+    caller); zeropad writes zeros.
+    """
+    zero = boundary != "symmetric"
+    if sh > 0:
+        fix = jnp.zeros_like(term[..., :sh]) if zero \
+            else jnp.flip(src[..., :sh], axis=-1)
+        return term.at[..., :sh].set(fix)
+    fix = jnp.zeros_like(term[..., sh:]) if zero \
+        else jnp.flip(src[..., sh:], axis=-1)
+    return term.at[..., sh:].set(fix)
+
+
+def _step_sum(src, coef, shift: int, boundary: str = PERIODIC):
+    """sum_k coef[k] * src_ext[i + k - shift] as rolls along -1 (periodic:
+    mod half; other boundaries: rolls + edge fix-up)."""
+    n = src.shape[-1]
     acc = None
     for k, c in enumerate(coef):
         sh = shift - k
         term = jnp.roll(src, sh, axis=-1) if sh != 0 else src
+        if sh != 0 and boundary != PERIODIC:
+            if abs(sh) > n:
+                raise NotImplementedError(
+                    f"boundary {boundary!r} needs half length >= the step "
+                    f"reach |{sh}| (transform fewer levels)")
+            term = _fix_edges(term, src, sh, boundary)
         term = c * term
         acc = term if acc is None else acc + term
     return acc
@@ -65,11 +103,12 @@ def lift_steps(s, d, scheme: GLS, fw: bool):
     """Apply the scheme's step sequence to the (s, d) pair."""
     steps = scheme.steps if fw else scheme.steps[::-1]
     sign = -1.0 if fw else 1.0
+    bd = scheme.boundary
     for step in steps:
         if step.kind == PREDICT:
-            s = s + sign * _step_sum(d, step.coef, step.shift)
+            s = s + sign * _step_sum(d, step.coef, step.shift, bd)
         else:
-            d = d + sign * _step_sum(s, step.coef, step.shift)
+            d = d + sign * _step_sum(s, step.coef, step.shift, bd)
     return s, d
 
 

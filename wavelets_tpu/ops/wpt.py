@@ -27,8 +27,8 @@ def _pallas_level(x, wt, fw: bool):
     """Route the batched segment level through the fused 1-D kernels when
     on TPU and the shapes tile (the analogue of the GPU extension's batched
     WPT launches, ext/WaveletsGPUExt/filter_transforms_gpu.jl:337-381)."""
-    from ..transforms import _pallas_enabled
-    if not _pallas_enabled() or x.ndim < 2:
+    from ..transforms import _pallas_enabled, _periodic
+    if not _periodic(wt) or not _pallas_enabled() or x.ndim < 2:
         return None
     from .pallas import dwt1d as D1
     b = int(np.prod(x.shape[:-1]))

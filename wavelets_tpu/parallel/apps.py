@@ -108,6 +108,7 @@ def bestbasistree(y, wt: DiscreteWavelet, L: int | None = None,
     """
     if mesh is None:
         mesh = make_mesh(axis=axis_name)
+    sharded._require_periodic(wt)
     y = jnp.asarray(y)
     if y.ndim != 1:
         raise ValueError("bestbasistree expects a 1-D signal")
@@ -211,6 +212,7 @@ def denoise(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, *,
 # --- sharded wavelet packets -------------------------------------------------
 
 def _wpt_sharded(x, wt, tree, mesh: Mesh, axis_name: str, fw: bool):
+    sharded._require_periodic(wt)
     n = x.shape[-1]
     nd = mesh.shape[axis_name]
     tree = np.asarray(tree, dtype=bool)

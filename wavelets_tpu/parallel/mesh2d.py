@@ -98,6 +98,8 @@ def _inv_body(ll, lh, hl, hh, wt, ax, ay, ndx, ndy):
 
 @partial(jax.jit, static_argnames=("wt", "L", "mesh", "fw"))
 def _dwt2_grid_jit(x, wt, L, mesh, fw):
+    from .sharded import _require_periodic
+    _require_periodic(wt)
     ax, ay = mesh.axis_names
     ndx, ndy = mesh.shape[ax], mesh.shape[ay]
     m, n = x.shape

@@ -368,6 +368,7 @@ def _level_inv_global(active, wt):
 def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw):
     """N-D sharded multi-level driver: axis 0 sharded over the mesh ring,
     remaining axes local.  Works for 2-D images and 3-D volumes."""
+    _require_periodic(wt)
     nd = mesh.shape[axis_name]
     if nd == 1:
         # a 1-device mesh has no cross-shard axis: run the single-chip
@@ -418,6 +419,14 @@ def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw):
             out = _level_inv_global(active, wt)
         y = out if sub == shape else y.at[idx].set(out)
     return y
+
+
+def _require_periodic(wt):
+    if getattr(wt, "boundary", "periodic") != "periodic":
+        raise NotImplementedError(
+            "sharded transforms implement the periodic boundary only "
+            "(the halo ring IS the periodic topology); use the single-"
+            "device API for zeropad/symmetric")
 
 
 def _sharded(x, wt, L, mesh, axis_name, fw, rank):

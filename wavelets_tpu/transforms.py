@@ -62,10 +62,18 @@ def _check_levels(x, L, ndt):
                 "transform dimension")
 
 
+def _periodic(wt) -> bool:
+    """The Pallas kernels and halo machinery implement the periodic
+    boundary only; other boundaries take the XLA lifting path."""
+    return getattr(wt, "boundary", "periodic") == "periodic"
+
+
 def _use_pallas(x, wt, L) -> bool:
     """Route 2-D lifting transforms through the fused Pallas kernels when
     running on TPU hardware (override with WAVELETS_TPU_PALLAS=0/1)."""
     import os
+    if not _periodic(wt):
+        return False
     flag = os.environ.get("WAVELETS_TPU_PALLAS")
     if flag == "0":
         return False
@@ -91,7 +99,7 @@ def _pallas_enabled() -> bool:
 
 
 def _use_pallas_1d(x, wt, L) -> bool:
-    if not _pallas_enabled() or x.ndim != 2:
+    if not _periodic(wt) or not _pallas_enabled() or x.ndim != 2:
         return False
     from .ops.pallas.dwt1d import pallas_ok
     return pallas_ok(x.shape, wt, L, x.dtype)
@@ -100,14 +108,14 @@ def _use_pallas_1d(x, wt, L) -> bool:
 def _use_pallas_wide1d(x, wt, L) -> bool:
     """Single flat signal too wide for the batched row kernels: the
     (n,) -> (R, C) folded kernels (ops/pallas/wide1d.py)."""
-    if not _pallas_enabled() or x.ndim != 1:
+    if not _periodic(wt) or not _pallas_enabled() or x.ndim != 1:
         return False
     from .ops.pallas.wide1d import wide_ok
     return wide_ok(x.shape[0], wt, L, x.dtype)
 
 
 def _use_pallas_3d(x, wt, L) -> bool:
-    if not _pallas_enabled():
+    if not _periodic(wt) or not _pallas_enabled():
         return False
     from .ops.pallas.dwt3d import pallas_ok
     return pallas_ok(x.shape, wt, L, x.dtype)

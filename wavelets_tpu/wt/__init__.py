@@ -19,7 +19,7 @@ from .schemes import SCHEMES, LSStep, PREDICT, UPDATE
 from .carriers import (
     DiscreteWavelet, FilterWavelet, LSWavelet, OrthoFilter, GLS, wavelet,
     qmf, makeqmfpair, makereverseqmfpair,
-    FILTER, LIFTING, PERIODIC,
+    FILTER, LIFTING, PERIODIC, ZEROPAD, SYMMETRIC,
 )
 
 __all__ = [
@@ -29,5 +29,5 @@ __all__ = [
     "daubechies", "FILTERS", "SCHEMES", "LSStep", "PREDICT", "UPDATE",
     "DiscreteWavelet", "FilterWavelet", "LSWavelet", "OrthoFilter", "GLS",
     "wavelet", "qmf", "makeqmfpair", "makereverseqmfpair",
-    "FILTER", "LIFTING", "PERIODIC",
+    "FILTER", "LIFTING", "PERIODIC", "ZEROPAD", "SYMMETRIC",
 ] + list(ALL_CLASSES)

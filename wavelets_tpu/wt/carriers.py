@@ -26,14 +26,24 @@ __all__ = [
     "DiscreteWavelet", "FilterWavelet", "LSWavelet",
     "OrthoFilter", "GLS", "wavelet",
     "qmf", "makeqmfpair", "makereverseqmfpair",
-    "FILTER", "LIFTING", "PERIODIC",
+    "FILTER", "LIFTING", "PERIODIC", "ZEROPAD", "SYMMETRIC",
 ]
 
 FILTER = "filter"
 LIFTING = "lifting"
 PERIODIC = "periodic"
+ZEROPAD = "zeropad"
+SYMMETRIC = "symmetric"
 
-_SUPPORTED_BOUNDARIES = (PERIODIC,)
+# The reference declares ZPBoundary/SymBoundary/NullBoundary but implements
+# only periodic (src/WT/wt_main.jl:33-49).  Here the LIFTING engine
+# additionally supports zero-pad and (half-sample) symmetric extension with
+# exact reconstruction — every lifting step is invertible under any
+# deterministic extension of the kept half (ops/lifting.py).  The filter
+# engine stays periodic-only: a decimated filter bank with non-periodic
+# extension is not perfectly reconstructible at same-size coefficient
+# arrays, which is presumably why the reference never implemented it.
+_SUPPORTED_BOUNDARIES = (PERIODIC, ZEROPAD, SYMMETRIC)
 
 
 class DiscreteWavelet:
@@ -109,12 +119,20 @@ def wavelet(c: WaveletClass, transform: str = FILTER,
     """Construct a wavelet carrier from a class.
 
     ``transform`` is "filter" (OrthoFilter) or "lifting" (GLS);
-    ``boundary`` is "periodic" (the only implemented boundary, as in the
-    reference — src/WT/wt_main.jl:240-264).
+    ``boundary`` is "periodic" (the reference's only implemented boundary,
+    src/WT/wt_main.jl:240-264), or — for the lifting transform only —
+    "zeropad" / "symmetric" (an extension beyond the reference; exact
+    reconstruction, see ops/lifting.py).
     """
     if boundary not in _SUPPORTED_BOUNDARIES:
         raise ValueError(f"unsupported boundary {boundary!r}; "
                          f"supported: {_SUPPORTED_BOUNDARIES}")
+    if transform == FILTER and boundary != PERIODIC:
+        raise NotImplementedError(
+            f"boundary {boundary!r} is only available with "
+            "transform='lifting' (the decimated filter bank is not "
+            "perfectly reconstructible under non-periodic extension at "
+            "same-size coefficient arrays)")
     if transform == FILTER:
         if not isinstance(c, OrthoWaveletClass):
             raise ValueError(
