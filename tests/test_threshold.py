@@ -152,3 +152,16 @@ def test_matchingpursuit():
                           nmax=200)
     assert np.linalg.norm(A @ np.asarray(y) - xr) <= \
         0.5 * np.linalg.norm(xr)
+
+
+def test_visushrink_constructors():
+    # reference overloads (denoising.jl:36-44): VisuShrink(n) == universal
+    # threshold with the default hard operator; VisuShrink(th, t) explicit
+    v1 = w.VisuShrink(1024)
+    assert v1 == w.VisuShrink.for_length(1024)
+    assert isinstance(v1.th, w.HardTH)
+    assert abs(v1.t - np.sqrt(2 * np.log(1024))) < 1e-12
+    v2 = w.VisuShrink(w.SoftTH(), 2.5)
+    assert isinstance(v2.th, w.SoftTH) and v2.t == 2.5
+    assert issubclass(w.VisuShrink, w.DNFT)
+    assert issubclass(w.ShannonEntropy, w.Entropy)

@@ -40,8 +40,8 @@ from .ops.lifting import split_last, merge_last
 from .subbands import dwt_subbands, idwt_subbands, to_packed, from_packed
 from .threshold import (
     threshold, HardTH, SoftTH, SemiSoftTH, SteinTH, BiggestTH, PosTH, NegTH,
-    VisuShrink, denoise, noisest,
-    coefentropy, ShannonEntropy, LogEnergyEntropy, bestbasistree,
+    DNFT, VisuShrink, denoise, noisest,
+    coefentropy, Entropy, ShannonEntropy, LogEnergyEntropy, bestbasistree,
     matchingpursuit,
 )
 from .plot import wplotdots, wplotim
@@ -65,8 +65,8 @@ __all__ = [
     "split_last", "merge_last",
     "makewavelet", "testfunction",
     "threshold", "HardTH", "SoftTH", "SemiSoftTH", "SteinTH", "BiggestTH",
-    "PosTH", "NegTH", "VisuShrink", "denoise", "noisest",
-    "coefentropy", "ShannonEntropy", "LogEnergyEntropy", "bestbasistree",
+    "PosTH", "NegTH", "DNFT", "VisuShrink", "denoise", "noisest",
+    "coefentropy", "Entropy", "ShannonEntropy", "LogEnergyEntropy", "bestbasistree",
     "matchingpursuit",
     "wplotdots", "wplotim",
 ]

@@ -29,12 +29,27 @@ class DNFT:
     pass
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, init=False)
 class VisuShrink(DNFT):
     """Universal threshold sqrt(2 log n) (for unit sigma) with a threshold
-    operator (default hard)."""
+    operator (default hard).
+
+    Constructors mirror the reference (denoising.jl:36-44):
+    ``VisuShrink(n)`` — universal threshold for signal length n with the
+    default hard operator; ``VisuShrink(th, t)`` — explicit operator and
+    threshold value.
+    """
     th: THType
     t: float
+
+    def __init__(self, th_or_n, t: float | None = None):
+        if isinstance(th_or_n, (int, np.integer)) and t is None:
+            th = HardTH()
+            t = float(np.sqrt(2 * np.log(th_or_n)))
+        else:
+            th = th_or_n
+        object.__setattr__(self, "th", th)
+        object.__setattr__(self, "t", float(t))
 
     @staticmethod
     def for_length(n: int, th: THType = HardTH()) -> "VisuShrink":
