@@ -164,6 +164,31 @@ def test_pallas_wide_1d(wname, kind):
     assert np.abs(xr - x).max() < 1e-4
 
 
+@pytest.mark.parametrize("wname,kind", [
+    ("db4", "filter"), ("cdf97", "lifting"),
+])
+def test_pallas_wide_1d_batched(wname, kind):
+    """Batched (B, n) wide fold — WPT's shallow-depth route — must match
+    per-row transforms exactly (the sublane halo ring wraps within each
+    segment, not across segments)."""
+    from wavelets_tpu.ops.pallas import wide1d as W1
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    wt64 = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    rng = np.random.default_rng(79)
+    n = 1 << 14
+    for B in (1, 2, 4):
+        x = rng.standard_normal((B, n)).astype(np.float32)
+        ref = np.stack([np.asarray(w.dwt(x[i].astype(np.float64), wt64, 1))
+                        for i in range(B)])
+        with pltpu.force_tpu_interpret_mode():
+            s, d = W1._level_wide_b(jnp.asarray(x), wt, True)
+            y = np.concatenate([np.asarray(s), np.asarray(d)], axis=-1)
+            xr = np.asarray(W1._level_wide_b(
+                (jnp.asarray(s), jnp.asarray(d)), wt, False))
+        assert np.abs(y - ref).max() < 1e-4, (wname, B)
+        assert np.abs(xr - x).max() < 1e-4, (wname, B)
+
+
 def test_pallas_bf16_lifting(monkeypatch):
     """bf16 kernels (int32-bitcast lane rolls) match the bf16 jnp engine
     bit-for-bit in interpret mode."""

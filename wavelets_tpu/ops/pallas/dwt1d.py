@@ -321,44 +321,45 @@ def _lane_halo_specs(n: int, tm: int, tn: int):
     ]
 
 
-def _mxu_fw_kernel(l_ref, c_ref, r_ref, wr_ref, s_ref, d_ref, *, G, m,
+def _mxu_fw_kernel(l_ref, c_ref, r_ref, wr_ref, s_ref, d_ref, *, gl, m,
                    mode):
     from .mxu2d import _dot_f32, _pair
     ext = jnp.concatenate([l_ref[:], c_ref[:], r_ref[:]], axis=1)
     tn = ext.shape[1] - 256
     wr = _pair(wr_ref[:], mode)
     ext_p = _pair(ext, mode)
-    w_ = 256 * G + 2 * m
+    w_ = gl + 2 * m
     off = 128 - m
 
     def win(p, j):
         a, (hi, lo) = p
-        sl = (slice(None), slice(256 * G * j + off, 256 * G * j + off + w_))
+        sl = (slice(None), slice(gl * j + off, gl * j + off + w_))
         return a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None))
 
     pieces = [_dot_f32(win(ext_p, j), wr, mode)
-              for j in range(tn // (256 * G))]
-    s_ref[:] = jnp.concatenate([p[:, : 128 * G] for p in pieces], axis=1)
-    d_ref[:] = jnp.concatenate([p[:, 128 * G:] for p in pieces], axis=1)
+              for j in range(tn // gl)]
+    s_ref[:] = jnp.concatenate([p[:, : gl // 2] for p in pieces], axis=1)
+    d_ref[:] = jnp.concatenate([p[:, gl // 2:] for p in pieces], axis=1)
 
 
 def _mxu_inv_kernel(sl_ref, sc_ref, sr_ref, dl_ref, dc_ref, dr_ref,
-                    wr_ref, o_ref, *, G, m, mode):
+                    wr_ref, o_ref, *, gl, m, mode):
     from .mxu2d import _dot_f32, _pair
     s_ext = jnp.concatenate([sl_ref[:], sc_ref[:], sr_ref[:]], axis=1)
     d_ext = jnp.concatenate([dl_ref[:], dc_ref[:], dr_ref[:]], axis=1)
     wr = _pair(wr_ref[:], mode)
     s_p = _pair(s_ext, mode)
     d_p = _pair(d_ext, mode)
-    wv = 128 * G + 2 * m
+    g2 = gl // 2
+    wv = g2 + 2 * m
     off = 128 - m
 
     def win(p, j):
         a, (hi, lo) = p
-        sl = (slice(None), slice(128 * G * j + off, 128 * G * j + off + wv))
+        sl = (slice(None), slice(g2 * j + off, g2 * j + off + wv))
         return a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None))
 
-    nj = (s_ext.shape[1] - 256) // (128 * G)
+    nj = (s_ext.shape[1] - 256) // g2
     pieces = []
     for j in range(nj):
         sa, (sh, sl_) = win(s_p, j)
@@ -373,16 +374,16 @@ def _mxu_inv_kernel(sl_ref, sc_ref, sr_ref, dl_ref, dc_ref, dr_ref,
 
 def _mxu_level_fw(x, wt):
     """(B, n) -> ((B, n/2) scaling, (B, n/2) detail), one kernel."""
-    from .mxu2d import _w_row, _row_G, _row_margin, _mxu_mode
+    from .mxu2d import _w_row, _row_gl, _row_margin, _mxu_mode
     b, n = x.shape
     tm, tn = _mxu_level_plan(b, n, wt, x.dtype)
-    G = _row_G(tn)
+    gl = _row_gl(tn)
     mr = _row_margin(wt)
-    wr = _w_row(wt, x.dtype, G, mr)
+    wr = _w_row(wt, x.dtype, gl, mr)
     half_spec = pl.BlockSpec((tm, tn // 2), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_mxu_fw_kernel, G=G, m=mr, mode=_mxu_mode()),
+        partial(_mxu_fw_kernel, gl=gl, m=mr, mode=_mxu_mode()),
         grid=(b // tm, n // tn),
         in_specs=_lane_halo_specs(n, tm, tn) + [
             pl.BlockSpec(wr.shape, lambda i, j: (0, 0),
@@ -395,17 +396,17 @@ def _mxu_level_fw(x, wt):
 
 def _mxu_level_inv(s, d, wt):
     """((B, n/2) scaling, (B, n/2) detail) -> (B, n), one kernel."""
-    from .mxu2d import _w_row_inv, _row_G, _row_margin, _mxu_mode
+    from .mxu2d import _w_row_inv, _row_gl, _row_margin, _mxu_mode
     b, nh = s.shape
     n = 2 * nh
     tm, tn = _mxu_level_plan(b, n, wt, s.dtype)
     tn2 = tn // 2
-    G = _row_G(tn)
+    gl = _row_gl(tn)
     mr = _row_margin(wt)
-    wr = _w_row_inv(wt, s.dtype, G, mr)
+    wr = _w_row_inv(wt, s.dtype, gl, mr)
     hs = _lane_halo_specs(nh, tm, tn2)
     return pl.pallas_call(
-        partial(_mxu_inv_kernel, G=G, m=mr, mode=_mxu_mode()),
+        partial(_mxu_inv_kernel, gl=gl, m=mr, mode=_mxu_mode()),
         grid=(b // tm, n // tn),
         in_specs=hs + hs + [
             pl.BlockSpec(wr.shape, lambda i, j: (0, 0),

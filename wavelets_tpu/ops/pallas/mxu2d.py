@@ -114,21 +114,23 @@ def _band_reach(wt):
     return int(-deltas.min()), int(deltas.max())
 
 
-def _w_row(wt, dtype, G=1, m=_HN):
-    """(256G + 2m, 256G) weight block: window lanes
-    [256G·j - m, 256G·j + 256G + m) -> output lanes
-    [s-block (128G) | d-block (128G)].
+def _w_row(wt, dtype, gl=256, m=_HN):
+    """(gl + 2m, gl) weight block: window lanes
+    [gl·j - m, gl·j + gl + m) -> output lanes
+    [s-block (gl/2) | d-block (gl/2)].
 
-    ``G`` output groups share one window: the margins amortize over 256G
-    interior lanes.  ``m`` is the lane margin (see _row_margin); the
-    weight is (256G + 2m, 256G)."""
+    ``gl`` is the output-group lane count; the dense-window FLOP cost is
+    (gl + 2m) multiplies PER OUTPUT LANE, so smaller groups do strictly
+    less MXU work (gl=128, m=32 -> K=192 vs gl=256 -> K=320) at the cost
+    of more, narrower dots.  ``m`` is the lane margin (see
+    _row_margin)."""
     ds, cs, dd, cd = level_bands(wt)
-    W = np.zeros((256 * G + 2 * m, 256 * G), np.float64)
-    for o in range(128 * G):
+    W = np.zeros((gl + 2 * m, gl), np.float64)
+    for o in range(gl // 2):
         for delta, c in zip(ds, cs):
             W[m + 2 * o + delta, o] += c
         for delta, c in zip(dd, cd):
-            W[m + 2 * o + delta, 128 * G + o] += c
+            W[m + 2 * o + delta, gl // 2 + o] += c
     return jnp.asarray(W.astype(dtype))
 
 
@@ -180,13 +182,20 @@ def _mxu_mode() -> str:
     The MXU multiplies in bfloat16; Mosaic exposes only DEFAULT (1 bf16
     pass, ~2^-9 relative error — unacceptable for the f32 API) and
     HIGHEST (fp32 contract, 6 passes, measured ~5x the DEFAULT dot
-    cost).  ``split3`` (default here) is the classical 3-pass bf16
-    decomposition a_hi@w_hi + a_hi@w_lo + a_lo@w_hi accumulated in f32 —
-    ~2^-17 relative error at 3 DEFAULT-dot cost.  Override with
-    WAVELETS_TPU_MXU_PREC in {split3, highest, bf16}.
+    cost).  ``split3`` is the classical 3-pass bf16 decomposition
+    a_hi@w_hi + a_hi@w_lo + a_lo@w_hi accumulated in f32 — ~2^-17
+    relative error at 3 DEFAULT-dot cost.  ``split3cat`` (default) is
+    the same three terms computed as ONE dot on K-concatenated operands
+    ([a_hi | a_lo | a_hi] @ [w_hi ; w_hi ; w_lo]): identical FLOPs and
+    accuracy class, measured ~8% faster on the full pyramid (5.21 →
+    4.81 ms at 8192² L8, 183 GB/s session) — one MXU launch amortizes
+    the per-dot pipeline fill that three separate dots pay.  ``high``
+    (Precision.HIGH) is NOT lowered by this Mosaic (kept as a probe).
+    Override with WAVELETS_TPU_MXU_PREC in
+    {split3cat, split3, high, highest, bf16}.
     """
     import os
-    return os.environ.get("WAVELETS_TPU_MXU_PREC", "split3")
+    return os.environ.get("WAVELETS_TPU_MXU_PREC", "split3cat")
 
 
 def _split_bf16(a):
@@ -202,30 +211,42 @@ def _dot_f32(a_pair, w_pair, mode):
     if mode == "highest":
         return jnp.dot(a, w, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
+    if mode == "high":
+        return jnp.dot(a, w, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGH)
     if mode == "bf16":
         return jnp.dot(a, w, preferred_element_type=jnp.float32)
+    if mode == "split3cat":
+        A = jnp.concatenate([a_hi, a_lo, a_hi], axis=1)
+        W = jnp.concatenate([w_hi, w_hi, w_lo], axis=0)
+        return jnp.dot(A, W, preferred_element_type=jnp.float32)
     return (jnp.dot(a_hi, w_hi, preferred_element_type=jnp.float32)
             + jnp.dot(a_hi, w_lo, preferred_element_type=jnp.float32)
             + jnp.dot(a_lo, w_hi, preferred_element_type=jnp.float32))
 
 
 def _pair(a, mode):
-    if mode == "split3":
+    if mode in ("split3", "split3cat"):
         return a, _split_bf16(a)
     return a, (None, None)
 
 
-def _row_G(tn: int) -> int:
-    """Output groups per shared window (see _w_row).
+def _row_gl(tn: int) -> int:
+    """Output-group lane count of the shared row windows (see _w_row).
 
-    Default 1: despite the 25% K-FLOP saving, G=2 measured consistently
-    ~0.7-1 ms SLOWER on the L8 8192^2 pyramid (bit-identical results) —
-    the wider (768, 512) weight appears to tile worse on the MXU than
-    the (512, 256) block.  WAVELETS_TPU_MXU_G=2 re-enables for
-    experiments."""
+    The dense-window K per output lane is gl + 2m, so NARROWER groups do
+    strictly fewer MXU FLOPs; gl=128 keeps full 128-lane output tiles
+    and cut K 320 -> 192 at m=32.  (The old G=2 / gl=512 direction —
+    amortizing margins over wider groups — measured ~0.7-1 ms SLOWER
+    than gl=256 despite its K saving; gl=128 measured faster.)
+    Override with WAVELETS_TPU_MXU_GL in {128, 256, 512}."""
     import os
-    cap = int(os.environ.get("WAVELETS_TPU_MXU_G", "1"))
-    return 2 if (tn % 512 == 0 and cap >= 2) else 1
+    gl = int(os.environ.get("WAVELETS_TPU_MXU_GL", "128"))
+    if int(os.environ.get("WAVELETS_TPU_MXU_G", "1")) >= 2:
+        gl = 512                     # legacy experiment knob
+    while gl > 128 and tn % gl:
+        gl //= 2
+    return gl
 
 
 def _row_margin(wt) -> int:
@@ -245,7 +266,7 @@ def _row_margin(wt) -> int:
     return min(128, roundup(max(lo, hi, lo2, hi2, 1), 32))
 
 
-def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, G, m=_HN):
+def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, gl, m=_HN):
     """Shared forward compute: 9 halo refs + weight refs -> the four
     (tm/2, tn/2) quadrant tiles."""
     nw, nn, ne, ww, cc, ee, sw, ss, se = ins
@@ -257,18 +278,18 @@ def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, G, m=_HN):
 
     wr = _pair(wr_ref[:], mode)
     ext_p = _pair(ext, mode)
-    w_ = 256 * G + 2 * m
-    off = _HN - m       # ext offset of window j = 256G·j + off
+    w_ = gl + 2 * m
+    off = _HN - m       # ext offset of window j = gl·j + off
 
     def win(p, j):
         a, (hi, lo) = p
-        sl = (slice(None), slice(256 * G * j + off, 256 * G * j + off + w_))
+        sl = (slice(None), slice(gl * j + off, gl * j + off + w_))
         return (a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None)))
 
     pieces = [_dot_f32(win(ext_p, j), wr, mode)
-              for j in range(tn // (256 * G))]
-    S = jnp.concatenate([p[:, : 128 * G] for p in pieces], axis=1)
-    D = jnp.concatenate([p[:, 128 * G:] for p in pieces], axis=1)
+              for j in range(tn // gl)]
+    S = jnp.concatenate([p[:, : gl // 2] for p in pieces], axis=1)
+    D = jnp.concatenate([p[:, gl // 2:] for p in pieces], axis=1)
     V = jnp.concatenate([S, D], axis=1)              # (tm + 2hm, tn)
 
     Y = _dot_f32(_pair(wc_ref[:], mode), _pair(V, mode), mode)
@@ -278,11 +299,11 @@ def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, G, m=_HN):
             Y[tm2:, :half], Y[tm2:, half:])
 
 
-def _mxu_kernel(*refs, tm, mode, G, m):
+def _mxu_kernel(*refs, tm, mode, gl, m):
     ins, wr_ref, wc_ref = refs[:9], refs[9], refs[10]
     outs = refs[11:]
     ll, lh, hl, hh = _fw_quads_body(ins, wr_ref, wc_ref, tm=tm, mode=mode,
-                                    G=G, m=m)
+                                    gl=gl, m=m)
     outs[0][:] = ll
     outs[1][:] = lh
     outs[2][:] = hl
@@ -293,9 +314,9 @@ def mxu_level_fw_quads(x, wt):
     """One forward 2-D level -> (ll, lh, hl, hh) via two banded matmuls."""
     m, n = x.shape
     tm, tn, hm = _plan(m, n, wt, x.dtype)
-    G = _row_G(tn)
+    gl = _row_gl(tn)
     mr = _row_margin(wt)
-    wr = _w_row(wt, x.dtype, G, mr)
+    wr = _w_row(wt, x.dtype, gl, mr)
     wc = _w_col(wt, tm, hm, x.dtype)
     qshape = jax.ShapeDtypeStruct((m // 2, n // 2), x.dtype)
     qspec = pl.BlockSpec((tm // 2, tn // 2), lambda i, j: (i, j),
@@ -307,7 +328,7 @@ def mxu_level_fw_quads(x, wt):
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
-        partial(_mxu_kernel, tm=tm, mode=_mxu_mode(), G=G, m=mr),
+        partial(_mxu_kernel, tm=tm, mode=_mxu_mode(), gl=gl, m=mr),
         grid=(m // tm, n // tn),
         in_specs=in_specs,
         out_specs=(qspec,) * 4,
@@ -369,15 +390,16 @@ def _syn_reach(wt):
     return int(-deltas.min()), int(deltas.max())
 
 
-def _w_row_inv(wt, dtype, G=1, m=_HN):
-    """(2·(128G + 2m), 256G) synthesis weight block: [s-window |
-    d-window] lanes (each 128G pairs + m-lane margins) -> 256G
-    interleaved output lanes.  G output groups share one window's
-    margins; m is the lane margin (see _row_margin)."""
+def _w_row_inv(wt, dtype, gl=256, m=_HN):
+    """(2·(gl/2 + 2m), gl) synthesis weight block: [s-window | d-window]
+    lanes (each gl/2 pairs + m-lane margins) -> gl interleaved output
+    lanes.  ``gl`` is the output-group lane count (see _w_row: smaller
+    groups do strictly fewer MXU FLOPs); m is the lane margin (see
+    _row_margin)."""
     (dS0, cS0), (dD0, cD0), (dS1, cS1), (dD1, cD1) = synthesis_bands(wt)
-    wv = 128 * G + 2 * m
-    W = np.zeros((2 * wv, 256 * G), np.float64)
-    for o in range(128 * G):
+    wv = gl // 2 + 2 * m
+    W = np.zeros((2 * wv, gl), np.float64)
+    for o in range(gl // 2):
         for dlt, c in zip(dS0, cS0):
             W[m + o + dlt, 2 * o] += c
         for dlt, c in zip(dD0, cD0):
@@ -447,7 +469,7 @@ def mxu_inv_ok(ml: int, nl: int, wt, dtype) -> bool:
     return _plan_inv(ml, nl, wt, dtype) is not None
 
 
-def _mxu_inv_kernel(*refs, nj, mode, G, m):
+def _mxu_inv_kernel(*refs, nj, mode, gl, m):
     groups = [refs[9 * k: 9 * (k + 1)] for k in range(4)]
     wc_ref, wr_ref = refs[36], refs[37]
     o_ref = refs[38]
@@ -468,12 +490,13 @@ def _mxu_inv_kernel(*refs, nj, mode, G, m):
     Xs_p = _pair(Xs, mode)
     Xd_p = _pair(Xd, mode)
 
-    wv = 128 * G + 2 * m
-    off = _HN - m       # ext offset of window j = 128G·j + off
+    wv = gl // 2 + 2 * m
+    off = _HN - m       # ext offset of window j = (gl/2)·j + off
 
     def win(p, j):
         a, (hi, lo) = p
-        sl = (slice(None), slice(128 * G * j + off, 128 * G * j + off + wv))
+        g2 = gl // 2
+        sl = (slice(None), slice(g2 * j + off, g2 * j + off + wv))
         return a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None))
 
     def wincat(j):
@@ -498,17 +521,17 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
         in_specs += _inv_group_specs(plan, ml, nl, src.shape, off)
         inputs += [src] * 9
     dt = srcs[0].dtype
-    G = _row_G(tn)       # window sharing needs tn % 512 == 0, like fw
+    gl = _row_gl(tn)
     mr = _row_margin(wt)
-    wr = _w_row_inv(wt, dt, G, mr)
+    wr = _w_row_inv(wt, dt, gl, mr)
     wc = _w_col_inv(wt, tm, hm2, dt)
     in_specs += [
         pl.BlockSpec(wc.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(wr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
-        partial(_mxu_inv_kernel, nj=(tn // 2) // (128 * G),
-                mode=_mxu_mode(), G=G, m=mr),
+        partial(_mxu_inv_kernel, nj=(tn // 2) // (gl // 2),
+                mode=_mxu_mode(), gl=gl, m=mr),
         grid=(ml // tm, nl // tn),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
@@ -551,7 +574,7 @@ def mxu_packed_ok(m: int, n: int, wt, dtype) -> bool:
     return (m // 2) % (tm // 2) == 0 and (n // 2) % (tn // 2) == 0
 
 
-def _mxu_packed_kernel(*refs, tm, mode, G, m, has_alias):
+def _mxu_packed_kernel(*refs, tm, mode, gl, m, has_alias):
     if has_alias:
         (ins, wr_ref, wc_ref, _yin, ll_ref, y_ref, stash) = (
             refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
@@ -564,7 +587,7 @@ def _mxu_packed_kernel(*refs, tm, mode, G, m, has_alias):
     @pl.when(q == 0)
     def _():
         ll, lh, hl, hh = _fw_quads_body(ins, wr_ref, wc_ref, tm=tm,
-                                        mode=mode, G=G, m=m)
+                                        mode=mode, gl=gl, m=m)
         ll_ref[:] = ll
         stash[0] = lh
         stash[1] = hl
@@ -577,7 +600,7 @@ def _mxu_packed_call(active, y, yshape, wt):
     ml, nl = active.shape
     M, N = yshape
     tm, tn, hm = _plan(ml, nl, wt, active.dtype)
-    G = _row_G(tn)
+    gl = _row_gl(tn)
     bm, bn = tm // 2, tn // 2
     nbr = ml // tm
     nbc = nl // tn
@@ -586,7 +609,7 @@ def _mxu_packed_call(active, y, yshape, wt):
         return (i + ((q + 1) // 2) * nbr, j + (1 - (q % 2)) * nbc)
 
     mr = _row_margin(wt)
-    wr = _w_row(wt, active.dtype, G, mr)
+    wr = _w_row(wt, active.dtype, gl, mr)
     wc = _w_col(wt, tm, hm, active.dtype)
     in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
         pl.BlockSpec(wr.shape, lambda i, j, q: (0, 0),
@@ -601,7 +624,7 @@ def _mxu_packed_call(active, y, yshape, wt):
         inputs = inputs + [y]
         aliases = {11: 1}
     return pl.pallas_call(
-        partial(_mxu_packed_kernel, tm=tm, mode=_mxu_mode(), G=G, m=mr,
+        partial(_mxu_packed_kernel, tm=tm, mode=_mxu_mode(), gl=gl, m=mr,
                 has_alias=y is not None),
         grid=(ml // tm, nl // tn, 3),
         in_specs=in_specs,

@@ -161,54 +161,83 @@ def wide_ok(n: int, wt, L: int, dtype) -> bool:
     return L >= 1 and _fold(n, wt, dtype) is not None
 
 
-def _level_wide(x, wt, fw: bool):
-    """One level on a flat (n,) signal via the folded kernels.  ``x`` is
-    the flat signal (forward) or the (s, d) band pair (inverse)."""
-    n = x.shape[0] if fw else 2 * x[0].shape[0]
-    plan = _fold(n, wt, (x if fw else x[0]).dtype)
-    R, C, tm = plan
-    h = roundup(_lane_reach(wt), 2)
-    nb = R // _HALO
+def _halo_specs_b(C: int, tm: int, nbs: int):
+    """(up, center, down) sublane-ring specs over a (B·R, C) fold where
+    the ring wraps WITHIN each segment's R-row range (WPT segments are
+    independent periodic signals).  nbs = R // _HALO halo blocks per
+    segment; the center block is tm rows and R % tm == 0, so a grid step
+    never straddles segments."""
     step = tm // _HALO
-    hspec = [
-        pl.BlockSpec((_HALO, C), lambda i: ((i * step - 1) % nb,),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tm, C), lambda i: (i,), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_HALO, C), lambda i: (((i + 1) * step) % nb,),
-                     memory_space=pltpu.VMEM),
+
+    def up(i):
+        seg, lo = (i * step) // nbs, (i * step) % nbs
+        return (seg * nbs + (lo - 1) % nbs, 0)
+
+    def down(i):
+        seg, lo = (i * step) // nbs, (i * step) % nbs
+        return (seg * nbs + (lo + step) % nbs, 0)
+
+    return [
+        pl.BlockSpec((_HALO, C), up, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_HALO, C), down, memory_space=pltpu.VMEM),
     ]
+
+
+def _level_wide_b(x, wt, fw: bool):
+    """One level on a (B, n) batch of independent periodic signals via
+    the folded kernels (B == 1 is the plain wide path; WPT's shallow
+    depths are B in {1, 2, 4, ...} with huge n).  ``x`` is the (B, n)
+    batch (forward) or the ((B, n/2), (B, n/2)) band pair (inverse).
+    Forward returns ((B, n/2) s, (B, n/2) d); inverse returns (B, n)."""
     if fw:
+        B, n = x.shape
+        dtype = x.dtype
+    else:
+        B, nh = x[0].shape
+        n = 2 * nh
+        dtype = x[0].dtype
+    R, C, tm = _fold(n, wt, dtype)
+    h = roundup(_lane_reach(wt), 2)
+    nbs = R // _HALO
+    if fw:
+        hs = _halo_specs_b(C, tm, nbs)
         half_spec = pl.BlockSpec((tm, C // 2), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
-        hs = [pl.BlockSpec(bs.block_shape, lambda i, im=bs.index_map:
-                           im(i) + (0,), memory_space=pltpu.VMEM)
-              for bs in hspec]
-        folded = x.reshape(R, C)
+        folded = x.reshape(B * R, C)
         s, d = pl.pallas_call(
             partial(_fw_kernel, wt=wt, h=h),
-            grid=(R // tm,),
+            grid=(B * R // tm,),
             in_specs=hs,
             out_specs=(half_spec, half_spec),
-            out_shape=(jax.ShapeDtypeStruct((R, C // 2), x.dtype),
-                       jax.ShapeDtypeStruct((R, C // 2), x.dtype)),
+            out_shape=(jax.ShapeDtypeStruct((B * R, C // 2), dtype),
+                       jax.ShapeDtypeStruct((B * R, C // 2), dtype)),
         )(folded, folded, folded)
-        return s.reshape(-1), d.reshape(-1)
+        return s.reshape(B, n // 2), d.reshape(B, n // 2)
     s, d = x
-    sh = s.reshape(R, C // 2)
-    dh = d.reshape(R, C // 2)
-    hs = [pl.BlockSpec((bs.block_shape[0], C // 2),
-                       lambda i, im=bs.index_map: im(i) + (0,),
-                       memory_space=pltpu.VMEM)
-          for bs in hspec]
+    sh = s.reshape(B * R, C // 2)
+    dh = d.reshape(B * R, C // 2)
+    hs = _halo_specs_b(C // 2, tm, nbs)
     out = pl.pallas_call(
         partial(_inv_kernel, wt=wt, h=h),
-        grid=(R // tm,),
+        grid=(B * R // tm,),
         in_specs=hs + hs,
         out_specs=pl.BlockSpec((tm, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, C), x[0].dtype),
+        out_shape=jax.ShapeDtypeStruct((B * R, C), dtype),
     )(sh, sh, sh, dh, dh, dh)
-    return out.reshape(-1)
+    return out.reshape(B, n)
+
+
+def _level_wide(x, wt, fw: bool):
+    """One level on a flat (n,) signal via the folded kernels.  ``x`` is
+    the flat signal (forward) or the (s, d) band pair (inverse)."""
+    if fw:
+        s, d = _level_wide_b(x.reshape(1, -1), wt, True)
+        return s.reshape(-1), d.reshape(-1)
+    s, d = x
+    return _level_wide_b((s.reshape(1, -1), d.reshape(1, -1)), wt,
+                         False).reshape(-1)
 
 
 def dwt1d_wide(x, wt, L: int):

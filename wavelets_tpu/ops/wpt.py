@@ -33,10 +33,24 @@ def _pallas_level(x, wt, fw: bool):
     from .pallas import dwt1d as D1
     b = int(np.prod(x.shape[:-1]))
     n = x.shape[-1]
-    if not D1._level_ok(b, n, wt, x.dtype):
+    if D1._level_ok(b, n, wt, x.dtype):
+        flat = x.reshape(b, n)
+        out = D1._level(flat, wt, fw)
+        return out.reshape(x.shape)
+    # shallow depths: few segments, huge length — the batched row kernel
+    # can't tile (b < tm or a full row blows VMEM), but the row-major
+    # (R, C) fold of wide1d can, with the sublane halo ring wrapping
+    # within each segment (this was 14 of the 15 ms of a 2^20 full-tree
+    # wpt: depths 0-2 fell to the XLA gather path).
+    from .pallas import wide1d as W1
+    if W1._fold(n, wt, x.dtype) is None:
         return None
     flat = x.reshape(b, n)
-    out = D1._level(flat, wt, fw)
+    if fw:
+        s, d = W1._level_wide_b(flat, wt, True)
+        return jnp.concatenate([s, d], axis=-1).reshape(x.shape)
+    half = n // 2
+    out = W1._level_wide_b((flat[:, :half], flat[:, half:]), wt, False)
     return out.reshape(x.shape)
 
 
