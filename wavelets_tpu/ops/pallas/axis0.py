@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...wt.carriers import OrthoFilter, GLS
 from ...wt.schemes import PREDICT
 from ..filter_fb import filter_pair
+from .mxu2d import _sem
 from .common import roll, roundup, pick_col_tm
 
 __all__ = ["axis0_level_fw", "axis0_level_inv", "axis0_ok",
@@ -170,6 +171,7 @@ def axis0_level_fw(x, wt):
                                               memory_space=pltpu.VMEM)],
             out_specs=out_spec,
             out_shape=out_shape,
+            compiler_params=_sem(2),
         )(x, x, x, wc)
         return out.reshape(R, C)
     out = pl.pallas_call(
@@ -178,6 +180,7 @@ def axis0_level_fw(x, wt):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
+        compiler_params=_sem(2),
     )(x, x, x)
     return out.reshape(R, C)
 
@@ -207,6 +210,7 @@ def axis0_level_inv(y, wt):
                                               memory_space=pltpu.VMEM)],
             out_specs=out_spec,
             out_shape=out_shape,
+            compiler_params=_sem(2),
         )(packed, packed, packed, packed, packed, packed, wc)
     return pl.pallas_call(
         partial(_inv_kernel, wt=wt, halo=halo, tm=tm),
@@ -214,6 +218,7 @@ def axis0_level_inv(y, wt):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
+        compiler_params=_sem(2),
     )(packed, packed, packed, packed, packed, packed)
 
 
@@ -306,6 +311,7 @@ def axis0_level_fw_ext(above, x, below, wt):
                                               memory_space=pltpu.VMEM)],
             out_specs=out_spec,
             out_shape=out_shape,
+            compiler_params=_sem(2),
         )(above, x, x, x, below, wc)
         return out.reshape(R, C)
     out = pl.pallas_call(
@@ -314,6 +320,7 @@ def axis0_level_fw_ext(above, x, below, wt):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
+        compiler_params=_sem(2),
     )(above, x, x, x, below)
     return out.reshape(R, C)
 
@@ -401,6 +408,7 @@ def axis0_level_inv_ext(a_halos, a, b_halos, d, wt):
                                               memory_space=pltpu.VMEM)],
             out_specs=out_spec,
             out_shape=out_shape,
+            compiler_params=_sem(2),
         )(a_above, a, a, a, a_below, d_above, d, d, d, d_below, wc)
     return pl.pallas_call(
         partial(_inv_ext_kernel, wt=wt, halo=halo, tm=tm),
@@ -408,6 +416,7 @@ def axis0_level_inv_ext(a_halos, a, b_halos, d, wt):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
+        compiler_params=_sem(2),
     )(a_above, a, a, a, a_below, d_above, d, d, d, d_below)
 
 

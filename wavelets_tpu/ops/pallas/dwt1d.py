@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...wt.carriers import OrthoFilter, GLS
 from ...wt.schemes import PREDICT
 from ..filter_fb import filter_pair
+from .mxu2d import _sem
 from .common import roll, deint_lanes, int_lanes
 
 __all__ = ["dwt1d_pallas", "idwt1d_pallas", "pallas_ok"]
@@ -125,6 +126,7 @@ def _steps(x, wt, fw: bool):
         out_specs=pl.BlockSpec((tm, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), x.dtype),
+        compiler_params=_sem(1),
     )(x)
 
 
@@ -162,6 +164,7 @@ def _split(z):
         out_specs=(half_spec, half_spec),
         out_shape=(jax.ShapeDtypeStruct((b, n // 2), z.dtype),
                    jax.ShapeDtypeStruct((b, n // 2), z.dtype)),
+        compiler_params=_sem(2),
     )(z)
 
 
@@ -178,6 +181,7 @@ def _merge(s, d):
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), s.dtype),
+        compiler_params=_sem(2),
     )(s, d)
 
 
@@ -391,6 +395,7 @@ def _mxu_level_fw(x, wt):
         out_specs=(half_spec, half_spec),
         out_shape=(jax.ShapeDtypeStruct((b, n // 2), x.dtype),
                    jax.ShapeDtypeStruct((b, n // 2), x.dtype)),
+        compiler_params=_sem(2),
     )(x, x, x, wr)
 
 
@@ -414,4 +419,5 @@ def _mxu_level_inv(s, d, wt):
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), s.dtype),
+        compiler_params=_sem(2),
     )(s, s, s, d, d, d, wr)

@@ -260,6 +260,14 @@ def fused_level_fw_quads(x, wt):
 
 # --- packed mode -------------------------------------------------------------
 
+
+def _sem_packed():
+    """(parallel, parallel, arbitrary): the i/j tile axes carry no
+    cross-step state; only the q stash axis must stay ordered.  Lazy
+    import because mxu2d imports this module."""
+    from .mxu2d import _sem
+    return _sem(2, 1)
+
 def packed_ok(m: int, n: int, wt, dtype) -> bool:
     plan = _plan(m, n, wt, dtype)
     if plan is None:
@@ -326,8 +334,7 @@ def _packed_call(active, y, yshape, wt):
         ),
         input_output_aliases=aliases,
         scratch_shapes=[pltpu.VMEM((3, bm, bn), active.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        compiler_params=_sem_packed(),
     )(*inputs)
 
 

@@ -198,6 +198,33 @@ def _mxu_mode() -> str:
     return os.environ.get("WAVELETS_TPU_MXU_PREC", "split3cat")
 
 
+def _sem(n_par: int, n_arb: int = 0):
+    """dimension_semantics tuple: the tile axes of these kernels carry no
+    cross-step state, so they are declared "parallel" (Mosaic may then
+    prefetch/pipeline grid DMA — measured fw 4.88 -> 4.61 ms at 8192² L8,
+    bit-identical); only the packed q axis (VMEM stash carried across q)
+    must stay "arbitrary".  WAVELETS_TPU_MXU_SEM=arb restores
+    all-arbitrary for A/Bs.
+
+    Under forced TPU interpret mode this returns None: the interpreter
+    zips the FULL grid (including vmap-prepended axes) against the
+    semantics tuple and errors on the length mismatch, while the real
+    Mosaic lowering tracks vmapped dims separately and matches the
+    semantics against the user grid only."""
+    import os
+    try:
+        from jax._src import config as _jcfg
+        if _jcfg.pallas_tpu_interpret_mode_context_manager.value is not None:
+            return None
+    except Exception:
+        pass
+    if os.environ.get("WAVELETS_TPU_MXU_SEM") == "arb":
+        return pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * (n_par + n_arb))
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel",) * n_par + ("arbitrary",) * n_arb)
+
+
 def _split_bf16(a):
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -333,6 +360,7 @@ def mxu_level_fw_quads(x, wt):
         in_specs=in_specs,
         out_specs=(qspec,) * 4,
         out_shape=(qshape,) * 4,
+        compiler_params=_sem(2),
     )(*([x] * 9), wr, wc)
 
 
@@ -537,6 +565,7 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ml, nl), dt),
+        compiler_params=_sem(2),
     )(*inputs, wc, wr)
 
 
@@ -639,8 +668,7 @@ def _mxu_packed_call(active, y, yshape, wt):
         ),
         input_output_aliases=aliases,
         scratch_shapes=[pltpu.VMEM((3, bm, bn), active.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        compiler_params=_sem(2, 1),
     )(*inputs)
 
 

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...wt.carriers import OrthoFilter, GLS
 from ...wt.schemes import PREDICT
 from ..filter_fb import filter_pair
+from .mxu2d import _sem
 from .common import roll, deint_lanes, int_lanes, roundup
 from .dwt1d import _lift_interleaved, _level_jnp
 
@@ -212,6 +213,7 @@ def _level_wide_b(x, wt, fw: bool):
             out_specs=(half_spec, half_spec),
             out_shape=(jax.ShapeDtypeStruct((B * R, C // 2), dtype),
                        jax.ShapeDtypeStruct((B * R, C // 2), dtype)),
+            compiler_params=_sem(1),
         )(folded, folded, folded)
         return s.reshape(B, n // 2), d.reshape(B, n // 2)
     s, d = x
@@ -225,6 +227,7 @@ def _level_wide_b(x, wt, fw: bool):
         out_specs=pl.BlockSpec((tm, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * R, C), dtype),
+        compiler_params=_sem(1),
     )(sh, sh, sh, dh, dh, dh)
     return out.reshape(B, n)
 
