@@ -118,6 +118,21 @@ def main():
             record("dwt3", wname, shape,
                    _timeit(lambda v: _dwt_jit(v, wt, L, 3, True), x, iters))
 
+    # headline-size extras: 16k² f32 (BASELINE's stated size) + bf16 2-D
+    if not (args.quick or on_cpu):
+        wt97 = wavelets["cdf97/lifting"]
+        x = jax.device_put(
+            rng.standard_normal((16384, 16384)).astype(np.float32))
+        record("dwt2", "cdf97/lifting", (16384, 16384),
+               _timeit(lambda v: _dwt_jit(v, wt97, 8, 2, True), x, iters))
+        record("idwt2", "cdf97/lifting", (16384, 16384),
+               _timeit(lambda v: _dwt_jit(v, wt97, 8, 2, False), x, iters))
+        del x
+        xb = jax.device_put(
+            rng.standard_normal((8192, 8192)).astype(jnp.bfloat16))
+        record("dwt2/bf16", "cdf97/lifting", (8192, 8192),
+               _timeit(lambda v: _dwt_jit(v, wt97, 8, 2, True), xb, iters))
+
     # WPT (full tree) and MODWT, 1-D
     wt4 = wavelets["db4/filter"]
     for n in shapes_1d:

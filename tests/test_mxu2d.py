@@ -252,3 +252,32 @@ def test_mxu_dwt1d_batched_matches_reference():
             xr = np.asarray(D.idwt1d_pallas(jnp.asarray(y), wt, L))
         assert np.abs(y - ref).max() < 2e-4, wname
         assert np.abs(xr - x).max() < 2e-4, wname
+
+
+def test_mxu_bf16_2d():
+    """bfloat16 2-D arrays route through the MXU kernels (native 1-pass
+    dots, no lane rolls — the bitcast-roll VPU kernels stay untouched):
+    forward matches the f64 reference to bf16 accuracy and the full
+    packed pyramid round-trips."""
+    from wavelets_tpu.ops.pallas import mxu2d as M
+    from wavelets_tpu.ops.pallas import lifting2d as L2, filter2d as F2
+    rng = np.random.default_rng(92)
+    x = rng.standard_normal((256, 512)).astype(jnp.bfloat16)
+    for wname, kind, P2 in (("cdf97", "lifting", L2), ("db4", "filter", F2)):
+        wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+        assert M.mxu_ok(256, 512, wt, jnp.bfloat16)
+        assert P2.pallas_ok((256, 512), wt, 3, jnp.bfloat16)
+        # the crash-prone VPU plans must keep rejecting bf16
+        if P2 is L2:
+            assert L2._plan_level(256, 512, wt, jnp.bfloat16) is None
+        ref = np.asarray(w.dwt(np.asarray(x, np.float64), wt, 3))
+        scale = np.abs(ref).max()
+        fw = (L2.dwt2_lifting if P2 is L2 else F2.dwt2_filter)
+        inv = (L2.idwt2_lifting if P2 is L2 else F2.idwt2_filter)
+        with pltpu.force_tpu_interpret_mode():
+            y = np.asarray(fw(jnp.asarray(x), wt, 3), np.float64)
+            xr = np.asarray(inv(jnp.asarray(y, jnp.bfloat16), wt, 3),
+                            np.float64)
+        assert np.abs(y - ref).max() < 0.08 * scale, wname
+        assert np.abs(xr - np.asarray(x, np.float64)).max() < 0.08 * scale, \
+            wname

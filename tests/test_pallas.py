@@ -191,8 +191,10 @@ def test_pallas_wide_1d_batched(wname, kind):
 
 def test_pallas_bf16_lifting(monkeypatch):
     """bf16 kernels (int32-bitcast lane rolls) match the bf16 jnp engine
-    bit-for-bit in interpret mode."""
+    bit-for-bit in interpret mode.  MXU off: bf16 otherwise routes through
+    the banded-matmul kernels (test_mxu2d.test_mxu_bf16_2d covers those)."""
     monkeypatch.setenv("WAVELETS_TPU_BF16", "1")
+    monkeypatch.setenv("WAVELETS_TPU_MXU2D", "0")
     from wavelets_tpu.ops import lifting as L
     scheme = w.wt.wavelet(w.wt.cdf97, "lifting")
     rng = np.random.default_rng(78)
@@ -207,6 +209,7 @@ def test_pallas_bf16_lifting(monkeypatch):
 
 def test_pallas_bf16_filter(monkeypatch):
     monkeypatch.setenv("WAVELETS_TPU_BF16", "1")
+    monkeypatch.setenv("WAVELETS_TPU_MXU2D", "0")
     from wavelets_tpu.ops.pallas import filter2d as F
     from wavelets_tpu.ops import filter_fb as FB
     wt = w.wt.wavelet(w.wt.db2)

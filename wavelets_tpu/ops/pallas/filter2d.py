@@ -51,7 +51,9 @@ def _taps(wt: OrthoFilter, dtype):
 def _plan_level(m: int, n: int, flen: int, dtype):
     if n % 256 or m % 16:
         return None
-    from .common import halo_granule
+    from .common import dtype_ok, halo_granule
+    if not dtype_ok(dtype):   # bf16 VPU kernels are opt-in (bitcast rolls)
+        return None
     halo = roundup(max(flen, 2), halo_granule(dtype))  # both directions' reach
     tn = 256 if n % 512 else 512
     # The inverse row kernel keeps ~2*flen+4 live block temps on Mosaic's
@@ -83,10 +85,17 @@ def _plan_level(m: int, n: int, flen: int, dtype):
 def pallas_ok(shape, wt: OrthoFilter, L: int, dtype) -> bool:
     if len(shape) != 2 or L < 1:
         return False
-    from .common import dtype_ok
-    if not dtype_ok(dtype):   # bf16 via the int32-bitcast roll (common.roll)
-        return False
     m, n = shape
+    from .common import dtype_ok
+    if not dtype_ok(dtype):
+        # bf16's safe device route: the MXU banded-matmul kernels (no
+        # lane rolls — see lifting2d.pallas_ok)
+        import os
+        from .mxu2d import mxu_ok
+        if os.environ.get("WAVELETS_TPU_MXU2D") != "0" \
+                and mxu_ok(m, n, wt, dtype):
+            return True
+        return False
     return _plan_level(m, n, len(wt.qmf), dtype) is not None
 
 

@@ -122,7 +122,9 @@ def _plan_level(m: int, n: int, scheme: GLS, dtype):
     """Tile plan (tm_row, tm_col, tm_col_inv, halo, tn) or None."""
     if n % 256 or m % 16:
         return None
-    from .common import halo_granule
+    from .common import dtype_ok, halo_granule
+    if not dtype_ok(dtype):   # bf16 VPU kernels are opt-in (bitcast rolls)
+        return None
     reach = scheme_reach(scheme)
     halo = _roundup(2 * reach, halo_granule(dtype))
     tn = 512 if n % 512 == 0 else 256
@@ -147,10 +149,19 @@ def pallas_ok(shape, scheme: GLS, L: int, dtype) -> bool:
     tail levels fall back to the jnp path per level)."""
     if len(shape) != 2 or L < 1:
         return False
-    from .common import dtype_ok
-    if not dtype_ok(dtype):   # bf16 via the int32-bitcast roll (common.roll)
-        return False
     m, n = shape
+    from .common import dtype_ok
+    if not dtype_ok(dtype):
+        # bf16 has a SAFE device route through the MXU kernels (banded
+        # matmuls need no lane rolls, so the bitcast-roll kernels that
+        # crash this toolchain are never touched); per-level dispatch in
+        # _level_fw_quads/_dwt2_packed falls back to jnp elsewhere.
+        import os
+        from .mxu2d import mxu_ok
+        if os.environ.get("WAVELETS_TPU_MXU2D") != "0" \
+                and mxu_ok(m, n, scheme, dtype):
+            return True
+        return False
     return _plan_level(m, n, scheme, dtype) is not None
 
 

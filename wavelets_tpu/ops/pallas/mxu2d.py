@@ -148,13 +148,30 @@ def _w_col(wt, tm, hm, dtype):
     return jnp.asarray(W.astype(dtype))
 
 
+def _mxu_dtype_ok(dtype) -> bool:
+    """f32 (split-emulated dots) or bf16 (native 1-pass dots: the MXU
+    path needs NO lane rolls, so it avoids the bitcast-roll kernels that
+    crash this toolchain at bf16 — this is the safe bf16 device route)."""
+    d = np.dtype(dtype)
+    return d == np.dtype(np.float32) or d == np.dtype(jnp.bfloat16)
+
+
+def _mode_for(dtype) -> str:
+    """bf16 arrays use the native 1-pass dot (error ~2^-9 ≈ the dtype's
+    own epsilon); f32 uses the configured split emulation."""
+    if np.dtype(dtype) == np.dtype(jnp.bfloat16):
+        return "bf16"
+    return _mxu_mode()
+
+
 def _plan(m: int, n: int, wt, dtype):
-    if np.dtype(dtype) != np.dtype(np.float32):
+    if not _mxu_dtype_ok(dtype):
         return None
     lo, hi = _band_reach(wt)
     if max(lo, hi) > 120:     # must fit the 128-lane window margins
         return None
-    hm = roundup(max(lo, hi, 1), 8)
+    from .common import halo_granule
+    hm = roundup(max(lo, hi, 1), halo_granule(dtype))
     tn = next((c for c in (2048, 1024, 512, 256) if n % c == 0), None)
     # torus-wrapped halo index maps are correct for any granule count
     # >= 2 (left of granule 0 is the last granule)
@@ -317,9 +334,12 @@ def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, gl, m=_HN):
               for j in range(tn // gl)]
     S = jnp.concatenate([p[:, : gl // 2] for p in pieces], axis=1)
     D = jnp.concatenate([p[:, gl // 2:] for p in pieces], axis=1)
-    V = jnp.concatenate([S, D], axis=1)              # (tm + 2hm, tn)
+    # dots accumulate in f32; for bf16 inputs the intermediate V is cast
+    # back to the array dtype (mixed-dtype dots don't lower)
+    V = jnp.concatenate([S, D], axis=1).astype(ext.dtype)
 
     Y = _dot_f32(_pair(wc_ref[:], mode), _pair(V, mode), mode)
+    Y = Y.astype(ext.dtype)
     tm2 = tm // 2
     half = V.shape[1] // 2
     return (Y[:tm2, :half], Y[:tm2, half:],
@@ -355,7 +375,7 @@ def mxu_level_fw_quads(x, wt):
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
-        partial(_mxu_kernel, tm=tm, mode=_mxu_mode(), gl=gl, m=mr),
+        partial(_mxu_kernel, tm=tm, mode=_mode_for(x.dtype), gl=gl, m=mr),
         grid=(m // tm, n // tn),
         in_specs=in_specs,
         out_specs=(qspec,) * 4,
@@ -461,12 +481,13 @@ def _w_col_inv(wt, tm, hm2, dtype):
 def _plan_inv(ml: int, nl: int, wt, dtype):
     """(tm, tn, hm2, hn2) in FULL-level coordinates (fused2d plan-tuple
     layout, so fused2d._inv_group_specs is reused as-is)."""
-    if np.dtype(dtype) != np.dtype(np.float32):
+    if not _mxu_dtype_ok(dtype):
         return None
     lo, hi = _syn_reach(wt)
     if max(lo, hi) > 120:
         return None
-    hm2 = roundup(max(lo, hi, 1), 8)
+    from .common import halo_granule
+    hm2 = roundup(max(lo, hi, 1), halo_granule(dtype))
     hn2 = 128
     mh, nh = ml // 2, nl // 2
     tn = next((c for c in (2048, 1024, 512, 256) if nl % c == 0), None)
@@ -510,9 +531,12 @@ def _mxu_inv_kernel(*refs, nj, mode, gl, m):
         return jnp.concatenate([top, mid, bot], axis=0)
 
     ll, lh, hl, hh = (ext(g) for g in groups)
+    dt = ll.dtype
     wc = _pair(wc_ref[:], mode)
-    Xs = _dot_f32(wc, _pair(jnp.concatenate([ll, hl], axis=0), mode), mode)
-    Xd = _dot_f32(wc, _pair(jnp.concatenate([lh, hh], axis=0), mode), mode)
+    Xs = _dot_f32(wc, _pair(jnp.concatenate([ll, hl], axis=0), mode),
+                  mode).astype(dt)
+    Xd = _dot_f32(wc, _pair(jnp.concatenate([lh, hh], axis=0), mode),
+                  mode).astype(dt)
 
     wr = _pair(wr_ref[:], mode)
     Xs_p = _pair(Xs, mode)
@@ -537,7 +561,7 @@ def _mxu_inv_kernel(*refs, nj, mode, gl, m):
                    jnp.concatenate([sl_, dl], axis=1))
 
     pieces = [_dot_f32(wincat(j), wr, mode) for j in range(nj)]
-    o_ref[:] = jnp.concatenate(pieces, axis=1)
+    o_ref[:] = jnp.concatenate(pieces, axis=1).astype(o_ref.dtype)
 
 
 def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
@@ -559,7 +583,7 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
     ]
     return pl.pallas_call(
         partial(_mxu_inv_kernel, nj=(tn // 2) // (gl // 2),
-                mode=_mxu_mode(), gl=gl, m=mr),
+                mode=_mode_for(dt), gl=gl, m=mr),
         grid=(ml // tm, nl // tn),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
@@ -653,7 +677,7 @@ def _mxu_packed_call(active, y, yshape, wt):
         inputs = inputs + [y]
         aliases = {11: 1}
     return pl.pallas_call(
-        partial(_mxu_packed_kernel, tm=tm, mode=_mxu_mode(), gl=gl, m=mr,
+        partial(_mxu_packed_kernel, tm=tm, mode=_mode_for(active.dtype), gl=gl, m=mr,
                 has_alias=y is not None),
         grid=(ml // tm, nl // tn, 3),
         in_specs=in_specs,
