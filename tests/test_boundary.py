@@ -140,12 +140,22 @@ def test_filter_engine_rejects_nonperiodic():
         wavelet(db2, "lifting", "reflect")
 
 
-def test_sharded_rejects_nonperiodic():
+def test_sharded_boundary_support_matrix():
+    """The 1-axis sharded DWT drivers accept lifting zeropad/symmetric
+    (tests/test_sharded.py checks the values); the periodic-only
+    surfaces — sharded WPT and the 2-axis mesh — keep rejecting."""
     from wavelets_tpu import parallel
     wt = wavelet(cdf97, "lifting", ZEROPAD)
     x = jnp.zeros((32, 32))
+    y = parallel.dwt2(x, wt, 2)            # supported since late round 2
+    assert y.shape == x.shape
     with pytest.raises(NotImplementedError):
-        parallel.dwt2(x, wt, 2)
+        parallel.wpt(jnp.zeros(64), wt, np.ones(63, bool))
+    import jax
+    if len(jax.devices()) >= 4:
+        from wavelets_tpu.parallel import mesh2d
+        with pytest.raises(NotImplementedError):
+            mesh2d.dwt2(x, wt, 2)
 
 
 def test_pallas_gate_routes_xla(monkeypatch):

@@ -86,3 +86,35 @@ def test_sharded_denoise_pipeline(mesh):
     yt = w.threshold(y, w.HardTH(), 0.3)
     xr = np.asarray(parallel.idwt2(yt, wt, 3, mesh))
     assert np.mean((xr - x0) ** 2) < np.mean((x - x0) ** 2)
+
+
+@pytest.mark.parametrize("boundary", ["zeropad", "symmetric"])
+def test_sharded_nonperiodic_boundaries(mesh, boundary):
+    """Lifting zeropad/symmetric on the mesh: zeropad drops the ring's
+    wrap link (ppermute zero-fill IS the extension); symmetric flips the
+    edge devices' own edge rows.  Must match the single-device path
+    (pinned against the explicit-extension NumPy model in
+    tests/test_boundary.py) and reconstruct exactly."""
+    rng = np.random.default_rng(64)
+    m, n = 128, 64
+    x = rng.standard_normal((m, n))
+    for wname in ("cdf97", "db2", "haar"):
+        wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], "lifting", boundary)
+        L = 2
+        ref = np.asarray(w.dwt(x, wt, L))
+        ys = parallel.dwt2(parallel.shard_rows(x, mesh), wt, L, mesh)
+        assert np.allclose(np.asarray(ys), ref, atol=1e-11), (wname, boundary)
+        xr = parallel.idwt2(ys, wt, L, mesh)
+        assert np.allclose(np.asarray(xr), x, atol=1e-11), (wname, boundary)
+
+
+@pytest.mark.parametrize("boundary", ["zeropad", "symmetric"])
+def test_sharded_nonperiodic_3d(mesh, boundary):
+    rng = np.random.default_rng(65)
+    x = rng.standard_normal((64, 16, 16))
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting", boundary)
+    ref = np.asarray(w.dwt(x, wt, 1))
+    ys = parallel.dwt3(jax.device_put(x), wt, 1, mesh)
+    assert np.allclose(np.asarray(ys), ref, atol=1e-11), boundary
+    assert np.allclose(np.asarray(parallel.idwt3(ys, wt, 1, mesh)), x,
+                       atol=1e-11), boundary

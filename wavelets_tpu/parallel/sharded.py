@@ -58,15 +58,21 @@ def shard_rows(x, mesh: Mesh, axis: str = "x"):
     return jax.device_put(x, NamedSharding(mesh, P(axis, None)))
 
 
-def _ring_from_next(blk, rows, axis_name, nd):
-    """Each device receives the *next* device's first ``rows`` rows."""
-    perm = [(j, (j - 1) % nd) for j in range(nd)]
+def _ring_from_next(blk, rows, axis_name, nd, wrap=True):
+    """Each device receives the *next* device's first ``rows`` rows.
+    ``wrap=False`` drops the ring's wrap link: the LAST device then
+    receives ZEROS (lax.ppermute semantics) — exactly the "zeropad"
+    boundary extension."""
+    perm = ([(j, (j - 1) % nd) for j in range(nd)] if wrap
+            else [(j, j - 1) for j in range(1, nd)])
     return lax.ppermute(blk[:rows], axis_name, perm=perm)
 
 
-def _ring_from_prev(blk, rows, axis_name, nd):
-    """Each device receives the *previous* device's last ``rows`` rows."""
-    perm = [(j, (j + 1) % nd) for j in range(nd)]
+def _ring_from_prev(blk, rows, axis_name, nd, wrap=True):
+    """Each device receives the *previous* device's last ``rows`` rows.
+    ``wrap=False``: the FIRST device receives zeros (see _ring_from_next)."""
+    perm = ([(j, (j + 1) % nd) for j in range(nd)] if wrap
+            else [(j, j + 1) for j in range(nd - 1)])
     return lax.ppermute(blk[blk.shape[0] - rows:], axis_name, perm=perm)
 
 
@@ -77,8 +83,8 @@ def _local_level(v, wt, fw: bool):
     [s|d] output.  On TPU the per-shard compute routes through the fused
     batched-1-D Pallas kernels (the same kernels as the single-chip path —
     VERDICT r1 weak #2); the jnp formulation is the CPU-mesh fallback."""
-    from ..transforms import _pallas_enabled
-    if _pallas_enabled():
+    from ..transforms import _pallas_enabled, _periodic
+    if _pallas_enabled() and _periodic(wt):
         from ..ops.pallas import dwt1d as D1
         b = int(np.prod(v.shape[:-1]))
         n = v.shape[-1]
@@ -133,8 +139,8 @@ def _axis0_fw_pallas(rowt, wt, axis_name, nd):
     Pallas kernel (ops/pallas/axis0.py): one ppermute pair for the whole
     level, all steps in-kernel.  Returns None when ineligible (CPU mesh,
     odd shapes, tiny chunks)."""
-    from ..transforms import _pallas_enabled
-    if not _pallas_enabled():
+    from ..transforms import _pallas_enabled, _periodic
+    if not _pallas_enabled() or not _periodic(wt):
         return None
     from ..ops.pallas import axis0 as A0
     r = rowt.shape[0]
@@ -150,8 +156,8 @@ def _axis0_fw_pallas(rowt, wt, axis_name, nd):
 
 
 def _axis0_inv_pallas(a_blk, d_blk, wt, axis_name, nd):
-    from ..transforms import _pallas_enabled
-    if not _pallas_enabled():
+    from ..transforms import _pallas_enabled, _periodic
+    if not _pallas_enabled() or not _periodic(wt):
         return None
     from ..ops.pallas import axis0 as A0
     rh = a_blk.shape[0]
@@ -266,22 +272,42 @@ def _filter_level2_inv_body(a_blk, d_blk, wt, h, g, axis_name, nd):
 # --- lifting engine: one 2-D level -----------------------------------------
 
 def _lift_steps_axis0(s, d, scheme, fw, axis_name, nd):
-    """Apply the scheme's steps along the sharded row axis with ring halos."""
+    """Apply the scheme's steps along the sharded row axis with ring halos.
+
+    Non-periodic boundaries map onto the mesh exactly as on one device
+    (ops/lifting._fix_edges, per-step extension of the step's source
+    half): "zeropad" simply DROPS the ring's wrap link — lax.ppermute
+    leaves non-receiving devices with zeros, which IS the extension —
+    and "symmetric" (half-sample, ext[-j] = src[j-1]) overwrites the
+    edge devices' halo with their own reflected edge rows, a purely
+    local flip selected by lax.axis_index."""
     steps = scheme.steps if fw else scheme.steps[::-1]
     sign = -1.0 if fw else 1.0
+    bd = getattr(scheme, "boundary", "periodic")
+    wrap = bd == "periodic"
 
     def stencil(src, coef, shift):
-        # result[i] = sum_k coef[k] * src[i + k - shift]  (global rows)
+        # result[i] = sum_k coef[k] * src_ext[i + k - shift]  (global rows)
         offs = [k - shift for k in range(len(coef))]
         front = max(0, -min(offs))
         back = max(0, max(offs))
         rloc = src.shape[0]
+        idx = lax.axis_index(axis_name)
         parts = []
         if front > 0:
-            parts.append(_ring_from_prev(src, min(front, rloc), axis_name, nd))
+            f = min(front, rloc)
+            above = _ring_from_prev(src, f, axis_name, nd, wrap)
+            if bd == "symmetric":
+                above = jnp.where(idx == 0, jnp.flip(src[:f], axis=0), above)
+            parts.append(above)
         parts.append(src)
         if back > 0:
-            parts.append(_ring_from_next(src, min(back, rloc), axis_name, nd))
+            b = min(back, rloc)
+            below = _ring_from_next(src, b, axis_name, nd, wrap)
+            if bd == "symmetric":
+                below = jnp.where(idx == nd - 1,
+                                  jnp.flip(src[rloc - b:], axis=0), below)
+            parts.append(below)
         ext = jnp.concatenate(parts, axis=0) if len(parts) > 1 else src
         acc = None
         for k, c in enumerate(coef):
@@ -368,7 +394,7 @@ def _level_inv_global(active, wt):
 def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw):
     """N-D sharded multi-level driver: axis 0 sharded over the mesh ring,
     remaining axes local.  Works for 2-D images and 3-D volumes."""
-    _require_periodic(wt)
+    _check_boundary(wt)
     nd = mesh.shape[axis_name]
     if nd == 1:
         # a 1-device mesh has no cross-shard axis: run the single-chip
@@ -424,9 +450,20 @@ def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw):
 def _require_periodic(wt):
     if getattr(wt, "boundary", "periodic") != "periodic":
         raise NotImplementedError(
-            "sharded transforms implement the periodic boundary only "
-            "(the halo ring IS the periodic topology); use the single-"
-            "device API for zeropad/symmetric")
+            "this sharded driver implements the periodic boundary only; "
+            "sharded.dwt2/idwt2/dwt3/idwt3 support zeropad/symmetric for "
+            "the lifting engine")
+
+
+def _check_boundary(wt):
+    """The sharded DWT drivers support all lifting boundaries: zeropad is
+    the ring with its wrap link dropped (ppermute zero-fill), symmetric a
+    local flip on the edge devices.  The filter engine stays periodic
+    (as the single-device API: the constructor rejects other boundaries
+    for it)."""
+    bd = getattr(wt, "boundary", "periodic")
+    if bd != "periodic" and isinstance(wt, OrthoFilter):  # pragma: no cover
+        raise NotImplementedError("filter-engine boundaries are periodic")
 
 
 def _sharded(x, wt, L, mesh, axis_name, fw, rank):
