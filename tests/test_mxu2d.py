@@ -281,3 +281,57 @@ def test_mxu_bf16_2d():
         assert np.abs(y - ref).max() < 0.08 * scale, wname
         assert np.abs(xr - np.asarray(x, np.float64)).max() < 0.08 * scale, \
             wname
+
+
+def test_complex64_rides_kernels(monkeypatch):
+    """complex64 transforms split into two real f32 kernel transforms
+    (linear over C, real coefficients) — results must match the native
+    complex XLA path."""
+    import jax
+    monkeypatch.setenv("WAVELETS_TPU_PALLAS", "1")
+    from wavelets_tpu.transforms import _kernel_route_exists
+    rng = np.random.default_rng(93)
+    x = (rng.standard_normal((192, 768))
+         + 1j * rng.standard_normal((192, 768))).astype(np.complex64)
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    assert _kernel_route_exists(jnp.asarray(x).real, wt, 3, 2)
+    ref = np.asarray(w.dwt(x.astype(np.complex128), wt, 3))
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(jax.jit(
+            lambda v: w.transforms._dwt_impl(v, wt, 3, 2, True))(
+                jnp.asarray(x)))
+        xr = np.asarray(jax.jit(
+            lambda v: w.transforms._dwt_impl(v, wt, 3, 2, False))(
+                jnp.asarray(y, np.complex64)))
+    assert y.dtype == np.complex64
+    assert np.abs(y - ref).max() < 1e-3
+    assert np.abs(xr - x).max() < 1e-3
+
+
+def test_non_pow2_lane_shapes_route_correctly(monkeypatch):
+    """Shapes the MXU plan accepts but whose deeper levels hit
+    non-power-of-two lane counts (e.g. 768 -> 384): the whole-tail
+    kernel's lane butterfly requires power-of-two widths, so tail_ok
+    must reject them and the levels must fall to jnp — full pyramids
+    must match the f64 reference."""
+    import jax
+    monkeypatch.setenv("WAVELETS_TPU_PALLAS", "1")
+    from wavelets_tpu.ops.pallas import tail2d as T
+    from wavelets_tpu.ops.pallas.lifting2d import dwt2_lifting, idwt2_lifting
+    from wavelets_tpu.ops.pallas.filter2d import dwt2_filter, idwt2_filter
+    assert not T.tail_ok(96, 384, 1, w.wt.wavelet(w.wt.cdf97, "lifting"),
+                         np.float32)
+    rng = np.random.default_rng(94)
+    x = rng.standard_normal((192, 768)).astype(np.float32)
+    for wname, kind, fw, inv in (
+            ("cdf97", "lifting", dwt2_lifting, idwt2_lifting),
+            ("db4", "filter", dwt2_filter, idwt2_filter)):
+        wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+        ref = np.asarray(w.dwt(x.astype(np.float64), wt, 3))
+        with pltpu.force_tpu_interpret_mode():
+            y = np.asarray(jax.jit(lambda v, f=fw: f(v, wt, 3))(
+                jnp.asarray(x)))
+            xr = np.asarray(jax.jit(lambda v, f=inv: f(v, wt, 3))(
+                jnp.asarray(y)))
+        assert np.abs(y - ref).max() < 1e-3, wname
+        assert np.abs(xr - x).max() < 1e-3, wname

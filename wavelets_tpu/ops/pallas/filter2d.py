@@ -83,18 +83,18 @@ def _plan_level(m: int, n: int, flen: int, dtype):
 
 
 def pallas_ok(shape, wt: OrthoFilter, L: int, dtype) -> bool:
+    """MXU plan first (default body; wider shape acceptance; the safe
+    bf16 route) — see lifting2d.pallas_ok."""
     if len(shape) != 2 or L < 1:
         return False
     m, n = shape
+    import os
+    if os.environ.get("WAVELETS_TPU_MXU2D") != "0":
+        from .mxu2d import mxu_ok
+        if mxu_ok(m, n, wt, dtype):
+            return True
     from .common import dtype_ok
     if not dtype_ok(dtype):
-        # bf16's safe device route: the MXU banded-matmul kernels (no
-        # lane rolls — see lifting2d.pallas_ok)
-        import os
-        from .mxu2d import mxu_ok
-        if os.environ.get("WAVELETS_TPU_MXU2D") != "0" \
-                and mxu_ok(m, n, wt, dtype):
-            return True
         return False
     return _plan_level(m, n, len(wt.qmf), dtype) is not None
 

@@ -146,21 +146,24 @@ def _plan_level(m: int, n: int, scheme: GLS, dtype):
 
 def pallas_ok(shape, scheme: GLS, L: int, dtype) -> bool:
     """Static eligibility of the Pallas path (first level must tile; small
-    tail levels fall back to the jnp path per level)."""
+    tail levels fall back to the jnp path per level).
+
+    The MXU plan is checked FIRST: it is the default compute body, it
+    accepts shapes the VPU row-tile plan cannot (e.g. m with odd
+    factors), and it is the safe bf16 route (banded matmuls need no
+    lane rolls, so the bitcast-roll kernels that crash this toolchain
+    are never touched).  Per-level dispatch in _level_fw_quads /
+    _dwt2_packed falls back to jnp wherever a level's plan rejects."""
     if len(shape) != 2 or L < 1:
         return False
     m, n = shape
+    import os
+    if os.environ.get("WAVELETS_TPU_MXU2D") != "0":
+        from .mxu2d import mxu_ok
+        if mxu_ok(m, n, scheme, dtype):
+            return True
     from .common import dtype_ok
     if not dtype_ok(dtype):
-        # bf16 has a SAFE device route through the MXU kernels (banded
-        # matmuls need no lane rolls, so the bitcast-roll kernels that
-        # crash this toolchain are never touched); per-level dispatch in
-        # _level_fw_quads/_dwt2_packed falls back to jnp elsewhere.
-        import os
-        from .mxu2d import mxu_ok
-        if os.environ.get("WAVELETS_TPU_MXU2D") != "0" \
-                and mxu_ok(m, n, scheme, dtype):
-            return True
         return False
     return _plan_level(m, n, scheme, dtype) is not None
 

@@ -39,7 +39,11 @@ def tail_ok(m: int, n: int, L: int, wt, dtype) -> bool:
         return False
     if not (_MIN_SIDE <= m <= _MAX_SIDE and 128 <= n <= _MAX_SIDE):
         return False
-    if n % 128 or m % 8:
+    # the in-kernel lane (de)interleave is a log2(n)-stage quarter-swap
+    # butterfly — n must be a POWER OF TWO, not just a multiple of 128
+    # (n = 384 produced wrong coefficients before this gate; rows only
+    # need the f32 sublane granule)
+    if n & (n - 1) or m % 8:
         return False
     # every level's active region must stay lane-tileable
     return (n >> (L - 1)) >= 128 and (m >> (L - 1)) >= _MIN_SIDE

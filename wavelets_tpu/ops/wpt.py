@@ -85,6 +85,16 @@ def _wpt_impl(x, wt, tree: np.ndarray, fw: bool):
     if not tree[0]:
         return x
 
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        # linear over C with real coefficients: two real transforms ride
+        # the kernels (see transforms._dwt_impl) when they are available
+        from ..transforms import _pallas_enabled, _periodic
+        if (_pallas_enabled() and _periodic(wt)
+                and jnp.real(x).dtype == jnp.float32):
+            return jax.lax.complex(
+                _wpt_impl(jnp.real(x), wt, tree, fw),
+                _wpt_impl(jnp.imag(x), wt, tree, fw))
+
     Lmax = treedepth(tree) if len(tree) else 0
     assert Lmax == maxtransformlevels(n)
     depths = range(Lmax) if fw else range(Lmax - 1, -1, -1)

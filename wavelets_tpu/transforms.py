@@ -121,7 +121,26 @@ def _use_pallas_3d(x, wt, L) -> bool:
     return pallas_ok(x.shape, wt, L, x.dtype)
 
 
+def _kernel_route_exists(x, wt, L, ndt) -> bool:
+    """Would _dwt_impl dispatch ``x`` to a Pallas kernel path?  (Shape/
+    dtype-only predicates — safe on tracers.)"""
+    return ((ndt == 2 and x.ndim >= 2 and _use_pallas(x, wt, L))
+            or (ndt == 1 and (_use_pallas_1d(x, wt, L)
+                              or _use_pallas_wide1d(x, wt, L)))
+            or (ndt == 3 and x.ndim == 3 and _use_pallas_3d(x, wt, L)))
+
+
 def _dwt_impl(x, wt, L, ndt, fw):
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        # The DWT is linear over C with REAL coefficients, so a complex
+        # transform is exactly (dwt(re), dwt(im)) — route complex64
+        # through the f32 kernels as two real transforms when a kernel
+        # path exists (the native-complex XLA formulation is the
+        # fallback, and the only path on CPU/f64).
+        xr = jnp.real(x)
+        if _kernel_route_exists(xr, wt, L, ndt):
+            return jax.lax.complex(_dwt_impl(xr, wt, L, ndt, fw),
+                                   _dwt_impl(jnp.imag(x), wt, L, ndt, fw))
     if ndt == 2 and x.ndim >= 2 and _use_pallas(x, wt, L):
         if isinstance(wt, GLS):
             from .ops.pallas.lifting2d import dwt2_lifting, idwt2_lifting
