@@ -335,3 +335,23 @@ def test_non_pow2_lane_shapes_route_correctly(monkeypatch):
                 jnp.asarray(y)))
         assert np.abs(y - ref).max() < 1e-3, wname
         assert np.abs(xr - x).max() < 1e-3, wname
+
+
+def test_mxu_bf16_batched_1d():
+    """bf16 batched 1-D levels ride the MXU kernels (VPU steps+split is
+    never eligible for bf16): multi-level forward at bf16 tolerance +
+    round-trip."""
+    from wavelets_tpu.ops.pallas import dwt1d as D
+    rng = np.random.default_rng(95)
+    x = rng.standard_normal((32, 2048)).astype(jnp.bfloat16)
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    assert D.pallas_ok(x.shape, wt, 3, jnp.bfloat16)
+    assert D._mxu_level_plan(32, 2048, wt, jnp.bfloat16) is not None
+    ref = np.asarray(w.dwt(np.asarray(x, np.float64), wt, 3, ndt=1))
+    scale = np.abs(ref).max()
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(D.dwt1d_pallas(jnp.asarray(x), wt, 3), np.float64)
+        xr = np.asarray(D.idwt1d_pallas(
+            jnp.asarray(y, jnp.bfloat16), wt, 3), np.float64)
+    assert np.abs(y - ref).max() < 0.08 * scale
+    assert np.abs(xr - np.asarray(x, np.float64)).max() < 0.08 * scale

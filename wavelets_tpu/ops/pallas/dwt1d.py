@@ -189,8 +189,11 @@ def _level_ok(b: int, n: int, wt, dtype) -> bool:
     from .common import dtype_ok, halo_granule
     if n % 512 or b % (2 * halo_granule(dtype)):
         return False
-    if not dtype_ok(dtype):   # bf16 via the int32-bitcast roll (common.roll)
-        return False
+    if not dtype_ok(dtype):
+        # bf16's safe route is the MXU level kernel (no lane rolls);
+        # _level prefers it under the same predicate, so the VPU
+        # steps+split pair is never reached for bf16
+        return _mxu_on() and _mxu_level_plan(b, n, wt, dtype) is not None
     if _pick_tm(b, n, wt, np.dtype(dtype).itemsize) is None:
         return False
     if isinstance(wt, OrthoFilter) and 2 * len(wt.qmf) > n:
@@ -292,8 +295,9 @@ def _mxu_on() -> bool:
 
 
 def _mxu_level_plan(b: int, n: int, wt, dtype):
-    from .mxu2d import _band_reach, _syn_reach
-    if np.dtype(dtype) != np.dtype(np.float32):
+    from .common import halo_granule
+    from .mxu2d import _band_reach, _syn_reach, _mxu_dtype_ok
+    if not _mxu_dtype_ok(dtype):   # f32 or bf16 (native 1-pass dots)
         return None
     lo, hi = _band_reach(wt)
     lo2, hi2 = _syn_reach(wt)
@@ -302,11 +306,12 @@ def _mxu_level_plan(b: int, n: int, wt, dtype):
     tn = next((c for c in (2048, 1024, 512, 256) if n % c == 0), None)
     if tn is None or n % 128 or n // 128 < 2:
         return None
-    budget = (12 << 20) // 4 // 10
+    gran = halo_granule(dtype)     # min sublane tile: 8 f32 / 16 bf16
+    budget = (12 << 20) // np.dtype(dtype).itemsize // 10
     tm = 512
-    while tm > 8 and (tm * (tn + 256) > budget or b % tm):
+    while tm > gran and (tm * (tn + 256) > budget or b % tm):
         tm //= 2
-    if b % tm or tm * (tn + 256) > budget:
+    if b % tm or tm % gran or tm * (tn + 256) > budget:
         return None
     return tm, tn
 
@@ -342,8 +347,10 @@ def _mxu_fw_kernel(l_ref, c_ref, r_ref, wr_ref, s_ref, d_ref, *, gl, m,
 
     pieces = [_dot_f32(win(ext_p, j), wr, mode)
               for j in range(tn // gl)]
-    s_ref[:] = jnp.concatenate([p[:, : gl // 2] for p in pieces], axis=1)
-    d_ref[:] = jnp.concatenate([p[:, gl // 2:] for p in pieces], axis=1)
+    s_ref[:] = jnp.concatenate([p[:, : gl // 2] for p in pieces],
+                               axis=1).astype(s_ref.dtype)
+    d_ref[:] = jnp.concatenate([p[:, gl // 2:] for p in pieces],
+                               axis=1).astype(d_ref.dtype)
 
 
 def _mxu_inv_kernel(sl_ref, sc_ref, sr_ref, dl_ref, dc_ref, dr_ref,
@@ -373,12 +380,12 @@ def _mxu_inv_kernel(sl_ref, sc_ref, sr_ref, dl_ref, dc_ref, dr_ref,
                      jnp.concatenate([sl_, dl], axis=1))
                     if sh is not None else (None, None)))
         pieces.append(_dot_f32(pair, wr, mode))
-    o_ref[:] = jnp.concatenate(pieces, axis=1)
+    o_ref[:] = jnp.concatenate(pieces, axis=1).astype(o_ref.dtype)
 
 
 def _mxu_level_fw(x, wt):
     """(B, n) -> ((B, n/2) scaling, (B, n/2) detail), one kernel."""
-    from .mxu2d import _w_row, _row_gl, _row_margin, _mxu_mode
+    from .mxu2d import _w_row, _row_gl, _row_margin, _mode_for
     b, n = x.shape
     tm, tn = _mxu_level_plan(b, n, wt, x.dtype)
     gl = _row_gl(tn)
@@ -387,7 +394,7 @@ def _mxu_level_fw(x, wt):
     half_spec = pl.BlockSpec((tm, tn // 2), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_mxu_fw_kernel, gl=gl, m=mr, mode=_mxu_mode()),
+        partial(_mxu_fw_kernel, gl=gl, m=mr, mode=_mode_for(x.dtype)),
         grid=(b // tm, n // tn),
         in_specs=_lane_halo_specs(n, tm, tn) + [
             pl.BlockSpec(wr.shape, lambda i, j: (0, 0),
@@ -401,7 +408,7 @@ def _mxu_level_fw(x, wt):
 
 def _mxu_level_inv(s, d, wt):
     """((B, n/2) scaling, (B, n/2) detail) -> (B, n), one kernel."""
-    from .mxu2d import _w_row_inv, _row_gl, _row_margin, _mxu_mode
+    from .mxu2d import _w_row_inv, _row_gl, _row_margin, _mode_for
     b, nh = s.shape
     n = 2 * nh
     tm, tn = _mxu_level_plan(b, n, wt, s.dtype)
@@ -411,7 +418,7 @@ def _mxu_level_inv(s, d, wt):
     wr = _w_row_inv(wt, s.dtype, gl, mr)
     hs = _lane_halo_specs(nh, tm, tn2)
     return pl.pallas_call(
-        partial(_mxu_inv_kernel, gl=gl, m=mr, mode=_mxu_mode()),
+        partial(_mxu_inv_kernel, gl=gl, m=mr, mode=_mode_for(s.dtype)),
         grid=(b // tm, n // tn),
         in_specs=hs + hs + [
             pl.BlockSpec(wr.shape, lambda i, j: (0, 0),
