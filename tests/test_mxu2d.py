@@ -355,3 +355,23 @@ def test_mxu_bf16_batched_1d():
             jnp.asarray(y, jnp.bfloat16), wt, 3), np.float64)
     assert np.abs(y - ref).max() < 0.08 * scale
     assert np.abs(xr - np.asarray(x, np.float64)).max() < 0.08 * scale
+
+
+def test_mxu_bf16_3d():
+    """bf16 3-D: slab MXU levels + bf16 axis-0 MXU kernels (the VPU
+    axis-0 rolls hit Mosaic's non-32-bit-rotate limit, so axis0_ok only
+    accepts bf16 when the MXU variant covers both directions)."""
+    from wavelets_tpu.ops.pallas import dwt3d as D3, axis0 as A0
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    assert A0.axis0_ok(64, 512, wt, jnp.bfloat16)
+    assert D3.pallas_ok((64, 64, 512), wt, 1, jnp.bfloat16)
+    rng = np.random.default_rng(96)
+    x = rng.standard_normal((64, 64, 512)).astype(jnp.bfloat16)
+    ref = np.asarray(w.dwt(np.asarray(x, np.float64), wt, 1))
+    scale = np.abs(ref).max()
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(D3.dwt3_pallas(jnp.asarray(x), wt, 1), np.float64)
+        xr = np.asarray(D3.idwt3_pallas(jnp.asarray(y, jnp.bfloat16), wt, 1),
+                        np.float64)
+    assert np.abs(y - ref).max() < 0.08 * scale
+    assert np.abs(xr - np.asarray(x, np.float64)).max() < 0.08 * scale

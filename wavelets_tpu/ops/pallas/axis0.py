@@ -42,8 +42,9 @@ def _reach(wt) -> int:
     return len(wt.qmf)
 
 
-def _halo_of(wt) -> int:
-    return roundup(max(2 * _reach(wt), 2), 8)
+def _halo_of(wt, dtype=np.float32) -> int:
+    from .common import halo_granule
+    return roundup(max(2 * _reach(wt), 2), halo_granule(dtype))
 
 
 def _steps_halves(s, d, scheme: GLS, fw: bool):
@@ -113,17 +114,26 @@ def _budget_cap(wt, tn: int, itemsize: int) -> int:
 
 
 def axis0_ok(R: int, C: int, wt, dtype) -> bool:
-    # this Mosaic lacks non-32-bit lane rotates ('Rotate with non-32-bit
-    # data'), so bfloat16 is excluded until the rolls get a 32-bit cast path
-    if np.dtype(dtype) != np.dtype(np.float32):
+    """f32 always (MXU or VPU variants); bf16 ONLY when the MXU variant
+    covers both directions — the VPU kernels' rolls hit Mosaic's
+    'Rotate with non-32-bit data' limit, and the banded matmuls don't."""
+    from .mxu2d import _mxu_dtype_ok
+    if not _mxu_dtype_ok(dtype):
         return False
-    halo = _halo_of(wt)
+    halo = _halo_of(wt, dtype)
     tn = _pick_tn(C)
     if tn is None or R % 16 or 2 * halo >= R:
         return False
     cap = _budget_cap(wt, tn, np.dtype(dtype).itemsize)
-    return pick_col_tm(R, halo, cap=max(cap, 2 * halo)) is not None and \
-        pick_col_tm(R // 2, halo, cap=max(min(cap, 512), 2 * halo)) is not None
+    tm_fw = pick_col_tm(R, halo, cap=max(cap, 2 * halo))
+    tm_inv = pick_col_tm(R // 2, halo, cap=max(min(cap, 512), 2 * halo))
+    if tm_fw is None or tm_inv is None:
+        return False
+    if np.dtype(dtype) == np.dtype(np.float32):
+        return True
+    return (_mxu_on() and _syn_fits(wt, halo)
+            and _mxu_axis0_ok(dtype, tm_fw, halo)
+            and _mxu_axis0_ok(dtype, tm_inv, halo))
 
 
 def _halo_specs3(tm: int, halo: int, nblocks_h: int, tn: int, comp: int):
@@ -144,7 +154,7 @@ def _halo_specs3(tm: int, halo: int, nblocks_h: int, tn: int, comp: int):
 def axis0_level_fw(x, wt):
     """(R, C) -> (R, C) packed along axis 0 ([a | d])."""
     R, C = x.shape
-    halo = _halo_of(wt)
+    halo = _halo_of(wt, x.dtype)
     tn = _pick_tn(C)
     cap = _budget_cap(wt, tn, np.dtype(x.dtype).itemsize)
     tm = pick_col_tm(R, halo, cap=max(cap, 2 * halo))
@@ -162,10 +172,10 @@ def axis0_level_fw(x, wt):
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((2, R // 2, C), x.dtype)
     if _mxu_on() and _mxu_axis0_ok(x.dtype, tm, halo):
-        from .mxu2d import _w_col, _mxu_mode
+        from .mxu2d import _w_col, _mode_for
         wc = _w_col(wt, tm, halo, x.dtype)
         out = pl.pallas_call(
-            partial(_fw_mxu_kernel, mode=_mxu_mode()),
+            partial(_fw_mxu_kernel, mode=_mode_for(x.dtype)),
             grid=(R // tm, C // tn),
             in_specs=in_specs + [pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
                                               memory_space=pltpu.VMEM)],
@@ -188,7 +198,7 @@ def axis0_level_fw(x, wt):
 def axis0_level_inv(y, wt):
     """Inverse of axis0_level_fw on the packed (R, C) array."""
     R, C = y.shape
-    halo = _halo_of(wt)
+    halo = _halo_of(wt, y.dtype)
     tn = _pick_tn(C)
     cap = _budget_cap(wt, tn, np.dtype(y.dtype).itemsize)
     tm = pick_col_tm(R // 2, halo, cap=max(min(cap, 512), 2 * halo))
@@ -201,10 +211,10 @@ def axis0_level_inv(y, wt):
     out_shape = jax.ShapeDtypeStruct((R, C), y.dtype)
     if _mxu_on() and _mxu_axis0_ok(y.dtype, tm, halo) \
             and _syn_fits(wt, halo):
-        from .mxu2d import _w_col_inv, _mxu_mode
+        from .mxu2d import _w_col_inv, _mode_for
         wc = _w_col_inv(wt, 2 * tm, halo, y.dtype)
         return pl.pallas_call(
-            partial(_inv_mxu_kernel, mode=_mxu_mode()),
+            partial(_inv_mxu_kernel, mode=_mode_for(y.dtype)),
             grid=((R // 2) // tm, C // tn),
             in_specs=in_specs + [pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
                                               memory_space=pltpu.VMEM)],
@@ -279,7 +289,7 @@ def axis0_level_fw_ext(above, x, below, wt):
     region only -> (R, C) packed [a | d].  ``above``/``below`` are the
     ring-exchanged halo rows (each exactly ``_halo_of(wt)`` tall)."""
     R, C = x.shape
-    halo = _halo_of(wt)
+    halo = _halo_of(wt, x.dtype)
     assert above.shape == (halo, C) and below.shape == (halo, C)
     tn = _pick_tn(C)
     cap = _budget_cap(wt, tn, np.dtype(x.dtype).itemsize)
@@ -302,10 +312,10 @@ def axis0_level_fw_ext(above, x, below, wt):
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((2, R // 2, C), x.dtype)
     if _mxu_on() and _mxu_axis0_ok(x.dtype, tm, halo):
-        from .mxu2d import _w_col, _mxu_mode
+        from .mxu2d import _w_col, _mode_for
         wc = _w_col(wt, tm, halo, x.dtype)
         out = pl.pallas_call(
-            partial(_fw_mxu_ext_kernel, mode=_mxu_mode()),
+            partial(_fw_mxu_ext_kernel, mode=_mode_for(x.dtype)),
             grid=(R // tm, C // tn),
             in_specs=in_specs + [pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
                                               memory_space=pltpu.VMEM)],
@@ -368,7 +378,7 @@ def axis0_level_inv_ext(a_halos, a, b_halos, d, wt):
     ``_halo_of(wt)`` tall); ``b_halos`` likewise for ``d``.  Returns the
     merged (R, C) rows."""
     Rh, C = a.shape
-    halo = _halo_of(wt)
+    halo = _halo_of(wt, a.dtype)
     a_above, a_below = a_halos
     d_above, d_below = b_halos
     tn = _pick_tn(C)
@@ -399,10 +409,10 @@ def axis0_level_inv_ext(a_halos, a, b_halos, d, wt):
     out_shape = jax.ShapeDtypeStruct((2 * Rh, C), a.dtype)
     if _mxu_on() and _mxu_axis0_ok(a.dtype, tm, halo) \
             and _syn_fits(wt, halo):
-        from .mxu2d import _w_col_inv, _mxu_mode
+        from .mxu2d import _w_col_inv, _mode_for
         wc = _w_col_inv(wt, 2 * tm, halo, a.dtype)
         return pl.pallas_call(
-            partial(_inv_mxu_ext_kernel, mode=_mxu_mode()),
+            partial(_inv_mxu_ext_kernel, mode=_mode_for(a.dtype)),
             grid=(Rh // tm, C // tn),
             in_specs=in_specs + [pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
                                               memory_space=pltpu.VMEM)],
@@ -435,7 +445,12 @@ def _mxu_on() -> bool:
 
 
 def _mxu_axis0_ok(dtype, tm: int, halo: int) -> bool:
-    return np.dtype(dtype) == np.dtype(np.float32) and tm % 2 == 0
+    d = np.dtype(dtype)
+    if d == np.dtype(np.float32):
+        return tm % 2 == 0
+    # bf16 tiles: second-minor block dims (tm/2 fw out, halo inputs)
+    # need the 16-row granule
+    return d == np.dtype(jnp.bfloat16) and tm % 32 == 0 and halo % 16 == 0
 
 
 def _syn_fits(wt, halo: int) -> bool:
@@ -448,7 +463,8 @@ def _syn_fits(wt, halo: int) -> bool:
 def _fw_mxu_kernel(top_ref, mid_ref, bot_ref, wc_ref, o_ref, *, mode):
     from .mxu2d import _dot_f32, _pair
     ext = jnp.concatenate([top_ref[:], mid_ref[:], bot_ref[:]], axis=0)
-    Y = _dot_f32(_pair(wc_ref[:], mode), _pair(ext, mode), mode)
+    Y = _dot_f32(_pair(wc_ref[:], mode), _pair(ext, mode),
+                 mode).astype(o_ref.dtype)
     tm2 = Y.shape[0] // 2
     o_ref[0] = Y[:tm2]
     o_ref[1] = Y[tm2:]
@@ -462,7 +478,8 @@ def _fw_mxu_ext_kernel(above_ref, top_ref, mid_ref, bot_ref, below_ref,
     top = jnp.where(i == 0, above_ref[:], top_ref[:])
     bot = jnp.where(i == last, below_ref[:], bot_ref[:])
     ext = jnp.concatenate([top, mid_ref[:], bot], axis=0)
-    Y = _dot_f32(_pair(wc_ref[:], mode), _pair(ext, mode), mode)
+    Y = _dot_f32(_pair(wc_ref[:], mode), _pair(ext, mode),
+                 mode).astype(o_ref.dtype)
     tm2 = Y.shape[0] // 2
     o_ref[0] = Y[:tm2]
     o_ref[1] = Y[tm2:]
@@ -474,7 +491,8 @@ def _inv_mxu_kernel(at_ref, ac_ref, ab_ref, dt_ref, dc_ref, db_ref,
     a = jnp.concatenate([at_ref[0], ac_ref[0], ab_ref[0]], axis=0)
     d = jnp.concatenate([dt_ref[0], dc_ref[0], db_ref[0]], axis=0)
     stacked = jnp.concatenate([a, d], axis=0)
-    o_ref[:] = _dot_f32(_pair(wc_ref[:], mode), _pair(stacked, mode), mode)
+    o_ref[:] = _dot_f32(_pair(wc_ref[:], mode), _pair(stacked, mode),
+                        mode).astype(o_ref.dtype)
 
 
 def _inv_mxu_ext_kernel(aa_ref, at_ref, ac_ref, ab_ref, ba_ref,
@@ -490,4 +508,5 @@ def _inv_mxu_ext_kernel(aa_ref, at_ref, ac_ref, ab_ref, ba_ref,
     a = jnp.concatenate([at, ac_ref[:], ab], axis=0)
     d = jnp.concatenate([dtp, dc_ref[:], dbt], axis=0)
     stacked = jnp.concatenate([a, d], axis=0)
-    o_ref[:] = _dot_f32(_pair(wc_ref[:], mode), _pair(stacked, mode), mode)
+    o_ref[:] = _dot_f32(_pair(wc_ref[:], mode), _pair(stacked, mode),
+                        mode).astype(o_ref.dtype)
