@@ -31,6 +31,36 @@ def main():
     import wavelets_tpu as w
     from wavelets_tpu.transforms import _dwt_jit
 
+    # The tunneled TPU has outage windows (backend init raises
+    # UNAVAILABLE) and wedge windows (dispatches hang); probe in a
+    # SUBPROCESS with retries (a failed init can leave this process's
+    # backend state poisoned) so a bench launched during one still
+    # produces a number once the device returns.
+    import subprocess
+    import sys
+    deadline = time.monotonic() + float(
+        os.environ.get("WAVELETS_TPU_BENCH_RETRY_S", "900"))
+    probe_src = ("import jax, jax.numpy as jnp, numpy as np;"
+                 "x = jax.device_put(np.ones((8, 128), np.float32));"
+                 "print(float(jnp.sum(x + 1)))")
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               timeout=120, capture_output=True)
+            if r.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print(json.dumps({
+                "metric": "2d_cdf97_lifting_dwt_L8",
+                "value": 0.0, "unit": "Gsamples/s", "vs_baseline": 0.0,
+                "error": "device unavailable/wedged through the whole "
+                         "retry window",
+            }))
+            return
+        time.sleep(30)
+
     platform = jax.devices()[0].platform
     # BASELINE.json's stated headline size (16k x 16k, 8 levels): fixed
     # per-level dispatch overhead amortizes vs 8192^2 (measured
