@@ -177,7 +177,11 @@ def _plan(m: int, n: int, wt, dtype):
     # >= 2 (left of granule 0 is the last granule)
     if tn is None or n % _HN or n // _HN < 2:
         return None
-    tm = 128
+    # taller tiles amortize the col-dot halo rows and grid overhead but
+    # grow the VMEM live set — 128 is the validated default;
+    # WAVELETS_TPU_MXU_TM=256 is an A/B knob (compile may fail on VMEM)
+    import os
+    tm = int(os.environ.get("WAVELETS_TPU_MXU_TM", "128"))
     while tm >= 2 * hm:
         if m % tm == 0 and tm % hm == 0:
             break
