@@ -141,9 +141,10 @@ def test_filter_engine_rejects_nonperiodic():
 
 
 def test_sharded_boundary_support_matrix():
-    """The 1-axis sharded DWT drivers accept lifting zeropad/symmetric
-    (tests/test_sharded.py checks the values); the periodic-only
-    surfaces — sharded WPT and the 2-axis mesh — keep rejecting."""
+    """The 1-axis AND 2-axis sharded DWT drivers accept lifting
+    zeropad/symmetric (tests/test_sharded.py and test_mesh2d.py check
+    the values); the periodic-only surfaces — sharded WPT/MODWT — keep
+    rejecting."""
     from wavelets_tpu import parallel
     wt = wavelet(cdf97, "lifting", ZEROPAD)
     x = jnp.zeros((32, 32))
@@ -154,8 +155,8 @@ def test_sharded_boundary_support_matrix():
     import jax
     if len(jax.devices()) >= 4:
         from wavelets_tpu.parallel import mesh2d
-        with pytest.raises(NotImplementedError):
-            mesh2d.dwt2(x, wt, 2)
+        yg = mesh2d.dwt2(x, wt, 2)         # 2-axis mesh too
+        assert yg.shape == x.shape
 
 
 def test_pallas_gate_routes_xla(monkeypatch):

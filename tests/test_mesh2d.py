@@ -42,3 +42,17 @@ def test_grid_deep_fallback(mesh):
     assert np.allclose(np.asarray(ys), ref, atol=1e-11)
     assert np.allclose(np.asarray(mesh2d.idwt2(ys, wt, L, mesh)), x,
                        atol=1e-11)
+
+
+@pytest.mark.parametrize("boundary", ["zeropad", "symmetric"])
+def test_mesh2d_nonperiodic_boundaries(mesh, boundary):
+    """Both sharded axes apply the extension at their mesh edges: values
+    must match the single-device lifting path exactly."""
+    rng = np.random.default_rng(66)
+    x = rng.standard_normal((64, 64))
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting", boundary)
+    ref = np.asarray(w.dwt(x, wt, 2))
+    ys = mesh2d.dwt2(mesh2d.shard_grid(x, mesh), wt, 2, mesh)
+    assert np.allclose(np.asarray(ys), ref, atol=1e-11), boundary
+    xr = mesh2d.idwt2(ys, wt, 2, mesh)
+    assert np.allclose(np.asarray(xr), x, atol=1e-11), boundary

@@ -98,8 +98,11 @@ def _inv_body(ll, lh, hl, hh, wt, ax, ay, ndx, ndy):
 
 @partial(jax.jit, static_argnames=("wt", "L", "mesh", "fw"))
 def _dwt2_grid_jit(x, wt, L, mesh, fw):
-    from .sharded import _require_periodic
-    _require_periodic(wt)
+    # both directions run the boundary-aware axis-0 primitives (zeropad =
+    # wrapless ppermute on that mesh axis, symmetric = edge-device flip),
+    # so all lifting boundaries work on the 2-axis mesh too
+    from .sharded import _check_boundary
+    _check_boundary(wt)
     ax, ay = mesh.axis_names
     ndx, ndy = mesh.shape[ax], mesh.shape[ay]
     m, n = x.shape
