@@ -169,3 +169,21 @@ def test_pallas_gate_routes_xla(monkeypatch):
     y = w.dwt(img, wt, 2)
     r = np.asarray(w.idwt(y, wt, 2))
     assert np.max(np.abs(r - img)) < 1e-5
+
+
+@pytest.mark.parametrize("boundary", [ZEROPAD, SYMMETRIC])
+def test_wpt_nonperiodic(boundary):
+    """WPT over boundary wavelets: each segment extends independently
+    (the XLA lifting path is boundary-aware per segment); exact
+    reconstruction over a random valid tree."""
+    import wavelets_tpu as ww
+    rng = np.random.default_rng(67)
+    x = rng.standard_normal(256)
+    wt = wavelet(cdf97, "lifting", boundary)
+    tree = ww.maketree(256, 4, "full")
+    y = ww.wpt(x, wt, tree)
+    xr = ww.iwpt(y, wt, tree)
+    assert np.allclose(np.asarray(xr), x, atol=1e-11), boundary
+    # differs from the periodic tree at the segment edges
+    yp = ww.wpt(x, wavelet(cdf97, "lifting"), tree)
+    assert not np.allclose(np.asarray(y), np.asarray(yp))
