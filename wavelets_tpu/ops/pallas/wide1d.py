@@ -159,7 +159,12 @@ def _fold(n: int, wt, dtype) -> tuple[int, int, int] | None:
 
 
 def wide_ok(n: int, wt, L: int, dtype) -> bool:
-    return L >= 1 and _fold(n, wt, dtype) is not None
+    if L < 1:
+        return False
+    if _fold(n, wt, dtype) is not None:
+        return True
+    from .pyramid1d import pyr_ok
+    return pyr_ok(n, wt, L, dtype)
 
 
 def _halo_specs_b(C: int, tm: int, nbs: int):
@@ -244,7 +249,19 @@ def _level_wide(x, wt, fw: bool):
 
 
 def dwt1d_wide(x, wt, L: int):
-    """Multi-level 1-D DWT of a single flat signal, packed layout."""
+    """Multi-level 1-D DWT of a single flat signal, packed layout.
+
+    Routes through the staged pyramid kernels (pyramid1d.py — several
+    levels per launch, details streamed into the packed buffer) when the
+    plan accepts, else one folded kernel per level."""
+    from .pyramid1d import pyr_ok, dwt1d_pyramid
+    if pyr_ok(x.shape[0], wt, L, x.dtype):
+        return dwt1d_pyramid(x, wt, L)
+    return dwt1d_wide_nopyr(x, wt, L)
+
+
+def dwt1d_wide_nopyr(x, wt, L: int):
+    """Per-level wide path (also the pyramid's sub-stage tail)."""
     if L == 0:
         return x
     n = x.shape[0]
@@ -262,6 +279,14 @@ def dwt1d_wide(x, wt, L: int):
 
 
 def idwt1d_wide(y, wt, L: int):
+    """Inverse of :func:`dwt1d_wide` (same pyramid/per-level routing)."""
+    from .pyramid1d import pyr_ok, idwt1d_pyramid
+    if pyr_ok(y.shape[0], wt, L, y.dtype):
+        return idwt1d_pyramid(y, wt, L)
+    return idwt1d_wide_nopyr(y, wt, L)
+
+
+def idwt1d_wide_nopyr(y, wt, L: int):
     if L == 0:
         return y
     n = y.shape[0]
