@@ -114,6 +114,8 @@ def lift_steps(s, d, scheme: GLS, fw: bool):
 
 def lifting_level_fw(x, scheme: GLS):
     """One forward lifting level along the last axis -> (s, d)."""
+    from ..wt.factor import check_boundary_stability
+    check_boundary_stability(scheme, x.dtype)
     s, d = split_last(x)
     s, d = lift_steps(s, d, scheme, fw=True)
     dt = x.dtype
@@ -122,6 +124,8 @@ def lifting_level_fw(x, scheme: GLS):
 
 def lifting_level_inv(s, d, scheme: GLS):
     """One inverse lifting level along the last axis -> x."""
+    from ..wt.factor import check_boundary_stability
+    check_boundary_stability(scheme, s.dtype)
     dt = s.dtype
     s = s * jnp.asarray(1.0 / scheme.norm1, dt)
     d = d * jnp.asarray(1.0 / scheme.norm2, dt)

@@ -16,6 +16,7 @@ from .classes import *  # noqa: F401,F403  (the named shortcut instances)
 from .daubechies import daubechies
 from .filters import FILTERS
 from .schemes import SCHEMES, LSStep, PREDICT, UPDATE
+from .factor import lifting_factorization
 from .carriers import (
     DiscreteWavelet, FilterWavelet, LSWavelet, OrthoFilter, GLS, wavelet,
     qmf, makeqmfpair, makereverseqmfpair,
@@ -27,6 +28,7 @@ __all__ = [
     "Haar", "Beylkin", "Vaidyanathan", "Daubechies", "Coiflet", "Symlet",
     "Battle", "CDF", "ALL_CLASSES",
     "daubechies", "FILTERS", "SCHEMES", "LSStep", "PREDICT", "UPDATE",
+    "lifting_factorization",
     "DiscreteWavelet", "FilterWavelet", "LSWavelet", "OrthoFilter", "GLS",
     "wavelet", "qmf", "makeqmfpair", "makereverseqmfpair",
     "FILTER", "LIFTING", "PERIODIC", "ZEROPAD", "SYMMETRIC",

@@ -107,11 +107,26 @@ class GLS(LSWavelet):
 
 
 def _gls_from_class(w: WaveletClass, boundary: str) -> GLS:
+    """GLS from the published SCHEMES table, or — beyond the reference,
+    which supports lifting for FOUR wavelets only (src/WT/wt_main.jl:
+    451-480) — from an on-the-fly Daubechies-Sweldens polyphase
+    factorization of the class's orthogonal filter (wt/factor.py).  The
+    factored scheme reproduces the filter transform to the coefficient
+    table's own orthonormality precision and is exactly invertible."""
     name = w.name()
-    if name not in SCHEMES:
-        raise ValueError(f"lifting scheme not found: {name!r}")
-    steps, n1, n2 = SCHEMES[name]
-    return GLS(steps, n1, n2, name, boundary)
+    if name in SCHEMES:
+        steps, n1, n2 = SCHEMES[name]
+        return GLS(steps, n1, n2, name, boundary)
+    if isinstance(w, OrthoWaveletClass):
+        from .factor import lifting_factorization
+        f = _ortho_filter_from_class(w, PERIODIC)
+        try:
+            steps, n1, n2 = lifting_factorization(f.qmf, name)
+        except ValueError as e:
+            raise ValueError(
+                f"lifting scheme not found: {name!r} ({e})") from e
+        return GLS(steps, n1, n2, name, boundary)
+    raise ValueError(f"lifting scheme not found: {name!r}")
 
 
 def wavelet(c: WaveletClass, transform: str = FILTER,
