@@ -118,3 +118,63 @@ def test_sharded_nonperiodic_3d(mesh, boundary):
     assert np.allclose(np.asarray(ys), ref, atol=1e-11), boundary
     assert np.allclose(np.asarray(parallel.idwt3(ys, wt, 1, mesh)), x,
                        atol=1e-11), boundary
+
+
+# --- sharded 1-D (contiguous-chunk sharding over the ring) -------------------
+
+@pytest.mark.parametrize("wname,kind", [
+    ("db2", "filter"), ("db4", "filter"), ("cdf97", "lifting"),
+    ("db6", "lifting"),   # factored scheme rides the same driver
+])
+def test_sharded_1d_matches_single(mesh, wname, kind):
+    rng = np.random.default_rng(67)
+    n = 1 << 12
+    x = rng.standard_normal(n)
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    L = 5
+    ref = np.asarray(w.dwt(x, wt, L))
+    xs = jax.device_put(x, jax.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("x")))
+    ys = parallel.dwt1(xs, wt, L, mesh)
+    assert np.allclose(np.asarray(ys), ref, atol=1e-10), wname
+    xr = parallel.idwt1(ys, wt, L, mesh)
+    assert np.allclose(np.asarray(xr), x, atol=1e-10), wname
+
+
+def test_sharded_1d_deep_fallback(mesh):
+    """Levels past the shardable band use the replicated global path."""
+    rng = np.random.default_rng(68)
+    n = 1 << 10
+    x = rng.standard_normal(n)
+    wt = w.wt.wavelet(w.wt.db2)
+    L = 10  # down to 1 sample
+    ref = np.asarray(w.dwt(x, wt, L))
+    ys = parallel.dwt1(x, wt, L, mesh)
+    assert np.allclose(np.asarray(ys), ref, atol=1e-10)
+    assert np.allclose(np.asarray(parallel.idwt1(ys, wt, L, mesh)), x,
+                       atol=1e-10)
+
+
+@pytest.mark.parametrize("boundary", ["zeropad", "symmetric"])
+def test_sharded_1d_nonperiodic(mesh, boundary):
+    """Lifting boundaries ride the ring in 1-D exactly as in 2-D/3-D."""
+    rng = np.random.default_rng(69)
+    n = 1 << 11
+    x = rng.standard_normal(n)
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting", boundary)
+    L = 3
+    ref = np.asarray(w.dwt(x, wt, L))
+    ys = parallel.dwt1(x, wt, L, mesh)
+    assert np.allclose(np.asarray(ys), ref, atol=1e-11), boundary
+    assert np.allclose(np.asarray(parallel.idwt1(ys, wt, L, mesh)), x,
+                       atol=1e-11), boundary
+
+
+def test_sharded_1d_denoise(mesh):
+    """The rank-agnostic distributed denoise pipeline accepts 1-D."""
+    rng = np.random.default_rng(70)
+    x = w.testfunction(1 << 11, "HeaviSine") + 0.2 * rng.standard_normal(1 << 11)
+    wt = w.wt.wavelet(w.wt.db4)
+    out = parallel.denoise(x, wt, L=4, mesh=mesh)
+    ref = w.denoise(x, wt, L=4)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-9)

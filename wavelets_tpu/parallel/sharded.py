@@ -40,7 +40,8 @@ from ..wt.carriers import OrthoFilter
 from ..wt.schemes import PREDICT
 from ..ops import filter_fb, lifting
 
-__all__ = ["make_mesh", "dwt2", "idwt2", "dwt3", "idwt3", "shard_rows"]
+__all__ = ["make_mesh", "dwt1", "idwt1", "dwt2", "idwt2", "dwt3", "idwt3",
+           "shard_rows"]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
@@ -474,6 +475,27 @@ def _sharded(x, wt, L, mesh, axis_name, fw, rank):
     if x.ndim != rank:
         raise ValueError(f"expected rank-{rank} input, got shape {x.shape}")
     return _dwt_sharded_jit(x, wt, int(L), mesh, axis_name, fw)
+
+
+def dwt1(x, wt, L: int | None = None, mesh: Mesh | None = None,
+         axis_name: str = "x"):
+    """Sharded 1-D forward DWT of a giant signal, packed layout.
+
+    The signal is sharded as CONTIGUOUS CHUNKS over the mesh ring
+    (P(axis_name,)); each level's stencil needs only an O(filterlen)
+    sample halo from the ring neighbours, so the N-D driver's sharded-
+    axis-0 bodies apply verbatim with rank 1 (no local axes).  Lifting
+    boundaries (periodic/zeropad/symmetric) map onto the ring exactly as
+    in 2-D/3-D.  Deep levels whose active band is smaller than the mesh
+    fall back to the replicated global formulation — they are O(n/2^l)
+    tiny."""
+    return _sharded(x, wt, L, mesh, axis_name, True, 1)
+
+
+def idwt1(y, wt, L: int | None = None, mesh: Mesh | None = None,
+          axis_name: str = "x"):
+    """Inverse of :func:`dwt1`."""
+    return _sharded(y, wt, L, mesh, axis_name, False, 1)
 
 
 def dwt2(x, wt, L: int | None = None, mesh: Mesh | None = None,
