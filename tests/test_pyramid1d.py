@@ -68,3 +68,37 @@ def test_pyramid_matches_perlevel_wide():
         a = np.asarray(PY.dwt1d_pyramid(jnp.asarray(x), wt, L))
         b = np.asarray(W1.dwt1d_wide_nopyr(jnp.asarray(x), wt, L))
     assert np.abs(a - b).max() < 2e-4
+
+
+@pytest.mark.parametrize("wname,kind", [
+    ("cdf97", "lifting"), ("db2", "filter"),
+])
+@pytest.mark.parametrize("B,n,L", [(2, 1 << 16, 4), (3, 1 << 16, 8)])
+def test_pyramid_batched_vs_f64(wname, kind, B, n, L):
+    """(B, n) batches: segment-local rings + per-signal packed regions."""
+    wt = _wt(wname, kind)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((B, n)).astype(np.float32)
+    ref = np.stack([np.asarray(w.dwt(x[i].astype(np.float64),
+                                     _wt(wname, kind), L))
+                    for i in range(B)])
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(PY.dwt1d_pyramid_b(jnp.asarray(x), wt, L))
+        xr = np.asarray(PY.idwt1d_pyramid_b(jnp.asarray(y), wt, L))
+    assert np.abs(y - ref).max() < 2e-4
+    assert np.abs(xr - x).max() < 2e-4
+
+
+def test_pyramid_batched_routing():
+    """dwt1d_pallas routes wide batches through the pyramid and narrow
+    ones through the per-level kernels; both agree."""
+    from wavelets_tpu.ops.pallas import dwt1d as D1
+    wt = _wt("db4", "filter")
+    x = np.random.default_rng(12).standard_normal((2, 1 << 16)).astype(
+        np.float32)
+    assert PY.plan_stages(1 << 16, wt, 4, np.float32)
+    assert not PY.plan_stages(4096, wt, 4, np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(D1.dwt1d_pallas(jnp.asarray(x), wt, 4))
+        b = np.asarray(PY.dwt1d_pyramid_b(jnp.asarray(x), wt, 4))
+    assert np.abs(a - b).max() == 0.0

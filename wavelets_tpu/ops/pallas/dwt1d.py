@@ -227,9 +227,16 @@ def _level(x, wt, fw: bool):
 
 
 def dwt1d_pallas(x, wt, L: int):
-    """(B, n) batched multi-level 1-D DWT, packed layout per row."""
+    """(B, n) batched multi-level 1-D DWT, packed layout per row.
+
+    Wide rows route through the staged pyramid kernels (pyramid1d.py:
+    several levels per launch with segment-local rings, details streamed
+    into the packed buffer); otherwise one kernel per level."""
     if L == 0:
         return x
+    from .pyramid1d import plan_stages, dwt1d_pyramid_b
+    if plan_stages(x.shape[1], wt, L, x.dtype):
+        return dwt1d_pyramid_b(x, wt, L)
     b, n = x.shape
     s = x
     details = []
@@ -250,6 +257,9 @@ def dwt1d_pallas(x, wt, L: int):
 def idwt1d_pallas(y, wt, L: int):
     if L == 0:
         return y
+    from .pyramid1d import plan_stages, idwt1d_pyramid_b
+    if plan_stages(y.shape[1], wt, L, y.dtype):
+        return idwt1d_pyramid_b(y, wt, L)
     b, n = y.shape
     s = y[:, : n >> L]
     for l in range(L, 0, -1):

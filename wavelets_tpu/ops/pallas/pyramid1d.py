@@ -68,7 +68,8 @@ from .mxu2d import (_band_reach, _dot_f32, _mode_for, _mxu_dtype_ok, _pair,
                     _row_margin, _sem, _syn_reach, _w_row, _w_row_inv)
 from .wide1d import _lane_extend
 
-__all__ = ["pyr_ok", "dwt1d_pyramid", "idwt1d_pyramid", "plan_stages"]
+__all__ = ["pyr_ok", "dwt1d_pyramid", "idwt1d_pyramid",
+           "dwt1d_pyramid_b", "idwt1d_pyramid_b", "plan_stages"]
 
 _HR = 8   # sublane halo rows (f32 granule); interior rows stay valid
           # for any stage depth < _HR
@@ -179,29 +180,45 @@ def _dots_inv(s, d, wi_pair, m, mode):
     return jnp.concatenate(pieces, axis=1).astype(s.dtype)
 
 
-def _fold_specs(R: int, C: int, tm: int):
-    """(up, center, down) ring specs over the (R, C) fold, (i, q) grid."""
+def _fold_specs(R: int, C: int, tm: int, nch: int):
+    """(up, center, down) ring specs over a (B*R, C) stack of per-signal
+    folds: the sublane ring wraps WITHIN each signal's R-row segment
+    (batched rows are independent periodic signals, like wide1d's
+    _halo_specs_b).  ``nch`` = R // tm chunks per signal; (i, q) grid."""
     nbs = R // _HR
     step = tm // _HR
+
+    def seg_loc(i):
+        return i // nch, i % nch
+
+    def up(i, q):
+        seg, loc = seg_loc(i)
+        return seg * nbs + (loc * step - 1) % nbs, 0
+
+    def down(i, q):
+        seg, loc = seg_loc(i)
+        return seg * nbs + (loc * step + step) % nbs, 0
+
     return [
-        pl.BlockSpec((_HR, C), lambda i, q: ((i * step - 1) % nbs, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_HR, C), up, memory_space=pltpu.VMEM),
         pl.BlockSpec((tm, C), lambda i, q: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((_HR, C), lambda i, q: ((i * step + step) % nbs, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_HR, C), down, memory_space=pltpu.VMEM),
     ]
 
 
-def _y_index(nch: int):
-    """q -> packed-buffer block decode (see module docstring)."""
+def _y_index(nch: int, sig_blocks: int):
+    """(i, q) -> packed-buffer block decode (see module docstring),
+    offset by the owning signal's region (``sig_blocks`` = n0 // B
+    blocks per signal)."""
     def imap(i, q):
         t = q + 1
         p = t | (t >> 1)
         p = p | (p >> 2)
         p = p | (p >> 4)
         lp = (p + 1) >> 1
-        return nch * lp + i * lp + (t - lp), 0
+        seg, loc = i // nch, i % nch
+        return seg * sig_blocks + nch * lp + loc * lp + (t - lp), 0
     return imap
 
 
@@ -227,15 +244,18 @@ def _fw_kernel(*refs, wt, m, tm, Ls, Br, mode, has_alias):
 
 
 def _stage_fw(s, y, n0: int, wt, plan):
-    """One forward stage: s (flat n_k) -> (s_next flat n_k/2^Ls, y)."""
+    """One forward stage on a (BATCH, n_k) row batch of independent
+    periodic signals: -> (s_next (BATCH, n_k/2^Ls), y as a
+    ((BATCH*n0)//128, 128) view of the per-signal packed regions)."""
+    BATCH, nk = s.shape
     C, R, tm, Ls, m = plan
     NQ = 1 << Ls
-    B = tm * C // NQ
-    Br = B // 128
+    Bsz = tm * C // NQ
+    Br = Bsz // 128
     nch = R // tm
     wr = _w_row(wt, s.dtype, _GL, m)
-    folded = s.reshape(R, C)
-    in_specs = _fold_specs(R, C, tm) + [
+    folded = s.reshape(BATCH * R, C)
+    in_specs = _fold_specs(R, C, tm, nch) + [
         pl.BlockSpec(wr.shape, lambda i, q: (0, 0),
                      memory_space=pltpu.VMEM)]
     inputs = [folded, folded, folded, wr]
@@ -247,23 +267,33 @@ def _stage_fw(s, y, n0: int, wt, plan):
     s_next, y = pl.pallas_call(
         partial(_fw_kernel, wt=wt, m=m, tm=tm, Ls=Ls, Br=Br,
                 mode=_mode_for(s.dtype), has_alias=y is not None),
-        grid=(nch, NQ - 1),
+        grid=(BATCH * nch, NQ - 1),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((tm, C // NQ), lambda i, q: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Br, 128), _y_index(nch),
+            pl.BlockSpec((Br, 128), _y_index(nch, n0 // Bsz),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((R, C // NQ), s.dtype),
-            jax.ShapeDtypeStruct((n0 // 128, 128), s.dtype),
+            jax.ShapeDtypeStruct((BATCH * R, C // NQ), s.dtype),
+            jax.ShapeDtypeStruct((BATCH * n0 // 128, 128), s.dtype),
         ),
         input_output_aliases=aliases,
         scratch_shapes=[pltpu.VMEM((NQ - 1, Br, 128), s.dtype)],
         compiler_params=_sem(1, 1),
     )(*inputs)
-    return s_next.reshape(-1), y
+    return s_next.reshape(BATCH, nk // NQ), y
+
+
+def _fw_stages(x, n0: int, wt, stages):
+    s = x
+    y = None
+    done = 0
+    for _nk, plan in stages:
+        s, y = _stage_fw(s, y, n0, wt, plan)
+        done += plan[3]
+    return s, y, done
 
 
 def dwt1d_pyramid(x, wt, L: int):
@@ -272,54 +302,87 @@ def dwt1d_pyramid(x, wt, L: int):
     from .wide1d import dwt1d_wide_nopyr
     n0 = x.shape[0]
     stages = plan_stages(n0, wt, L, x.dtype)
-    s = x
-    y = None
-    done = 0
-    for _nk, plan in stages:
-        s, y = _stage_fw(s, y, n0, wt, plan)
-        done += plan[3]
+    s, y, done = _fw_stages(x.reshape(1, n0), n0, wt, stages)
+    s = s.reshape(-1)
     rest = dwt1d_wide_nopyr(s, wt, L - done) if done < L else s
     if y is None:
         return rest
     return jax.lax.dynamic_update_slice(y.reshape(-1), rest, (0,))
 
 
+def dwt1d_pyramid_b(x, wt, L: int):
+    """Multi-level DWT of a (B, n) batch of independent signals, packed
+    layout per row — the staged pyramid with segment-local rings; tail
+    levels ride the per-level batched kernels (dwt1d.py)."""
+    from .dwt1d import dwt1d_pallas
+    BATCH, n0 = x.shape
+    stages = plan_stages(n0, wt, L, x.dtype)
+    s, y, done = _fw_stages(x, n0, wt, stages)
+    rest = dwt1d_pallas(s, wt, L - done) if done < L else s
+    if y is None:
+        return rest
+    yb = y.reshape(BATCH, n0)
+    return jax.lax.dynamic_update_slice(yb, rest, (0, 0))
+
+
 # --- inverse -----------------------------------------------------------------
 
 
-def _band_specs(R: int, C: int, tm: int, l: int):
+def _band_specs(R: int, C: int, tm: int, l: int, n0: int):
     """(up, center, down) ring specs for detail band d_l read from the
-    packed (n0/128, 128) view.  In each spec's own block units the band
-    starts at R/8 (halo blocks) / R/tm (center): both the band offset
-    n_k/2^l and the block sizes scale with the band width C/2^l."""
+    packed ((BATCH*n0)/128, 128) view.  In each spec's own block units,
+    signal b's region starts at b * n0/blocksize and the band at R/8
+    (halo blocks) / R/tm (center) into it: both the band offset n_k/2^l
+    and the block sizes scale with the band width C/2^l.  The ring wraps
+    within each signal's band."""
     wl = C >> l
     nbs = R // _HR
     nch = R // tm
     step = tm // _HR
+    sig_up = n0 // (_HR * wl)     # signal stride in up/down-block units
+    sig_c = n0 // (tm * wl)       # ... in center-block units
+
+    def up(i):
+        seg, loc = i // nch, i % nch
+        return seg * sig_up + nbs + (loc * step - 1) % nbs, 0
+
+    def center(i):
+        seg, loc = i // nch, i % nch
+        return seg * sig_c + nch + loc, 0
+
+    def down(i):
+        seg, loc = i // nch, i % nch
+        return seg * sig_up + nbs + (loc * step + step) % nbs, 0
+
     return [
-        pl.BlockSpec((_HR * wl // 128, 128),
-                     lambda i: (nbs + (i * step - 1) % nbs, 0),
+        pl.BlockSpec((_HR * wl // 128, 128), up, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm * wl // 128, 128), center,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tm * wl // 128, 128), lambda i: (nch + i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((_HR * wl // 128, 128),
-                     lambda i: (nbs + (i * step + step) % nbs, 0),
+        pl.BlockSpec((_HR * wl // 128, 128), down,
                      memory_space=pltpu.VMEM),
     ]
 
 
 def _sfold_specs(R: int, C: int, tm: int, Ls: int):
     """(up, center, down) ring specs over the scaling band's own
-    (R, C/2^Ls) fold, 1-axis grid."""
+    (BATCH*R, C/2^Ls) fold stack (segment-local ring), 1-axis grid."""
     w = C >> Ls
     nbs = R // _HR
+    nch = R // tm
     step = tm // _HR
+
+    def up(i):
+        seg, loc = i // nch, i % nch
+        return seg * nbs + (loc * step - 1) % nbs, 0
+
+    def down(i):
+        seg, loc = i // nch, i % nch
+        return seg * nbs + (loc * step + step) % nbs, 0
+
     return [
-        pl.BlockSpec((_HR, w), lambda i: ((i * step - 1) % nbs, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_HR, w), up, memory_space=pltpu.VMEM),
         pl.BlockSpec((tm, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_HR, w), lambda i: ((i * step + step) % nbs, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_HR, w), down, memory_space=pltpu.VMEM),
     ]
 
 
@@ -339,17 +402,18 @@ def _inv_kernel(*refs, wt, m, tm, Ls, C, mode):
     o_ref[:] = s[_HR: _HR + tm]
 
 
-def _stage_inv(s, y2d, wt, plan):
-    """One inverse stage: scaling band s (flat n_k/2^Ls) + detail bands
-    read from the packed view -> reconstructed s (flat n_k)."""
+def _stage_inv(s, y2d, n0: int, wt, plan):
+    """One inverse stage: scaling band s (BATCH, n_k/2^Ls) + detail
+    bands read from the packed view -> reconstructed s (BATCH, n_k)."""
+    BATCH, _nks = s.shape
     C, R, tm, Ls, m = plan
     nch = R // tm
     wi = _w_row_inv(wt, s.dtype, _GL, m)
-    sf = s.reshape(R, C >> Ls)
+    sf = s.reshape(BATCH * R, C >> Ls)
     in_specs = _sfold_specs(R, C, tm, Ls)
     inputs = [sf, sf, sf]
     for l in range(Ls, 0, -1):
-        in_specs += _band_specs(R, C, tm, l)
+        in_specs += _band_specs(R, C, tm, l, n0)
         inputs += [y2d, y2d, y2d]
     in_specs += [pl.BlockSpec(wi.shape, lambda i: (0, 0),
                               memory_space=pltpu.VMEM)]
@@ -357,14 +421,22 @@ def _stage_inv(s, y2d, wt, plan):
     out = pl.pallas_call(
         partial(_inv_kernel, wt=wt, m=m, tm=tm, Ls=Ls, C=C,
                 mode=_mode_for(s.dtype)),
-        grid=(nch,),
+        grid=(BATCH * nch,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, C), s.dtype),
+        out_shape=jax.ShapeDtypeStruct((BATCH * R, C), s.dtype),
         compiler_params=_sem(1),
     )(*inputs)
-    return out.reshape(-1)
+    return out.reshape(BATCH, R * C)
+
+
+def _inv_stages(s, y, n0: int, wt, stages):
+    BATCH = s.shape[0]
+    y2d = y.reshape(BATCH * n0 // 128, 128)
+    for _nk, plan in reversed(stages):
+        s = _stage_inv(s, y2d, n0, wt, plan)
+    return s
 
 
 def idwt1d_pyramid(y, wt, L: int):
@@ -378,7 +450,18 @@ def idwt1d_pyramid(y, wt, L: int):
     s = y[:n_tail]
     if done < L:
         s = idwt1d_wide_nopyr(s, wt, L - done)
-    y2d = y.reshape(n0 // 128, 128)
-    for _nk, plan in reversed(stages):
-        s = _stage_inv(s, y2d, wt, plan)
-    return s
+    return _inv_stages(s.reshape(1, n_tail), y, n0, wt,
+                       stages).reshape(-1)
+
+
+def idwt1d_pyramid_b(y, wt, L: int):
+    """Inverse of :func:`dwt1d_pyramid_b`."""
+    from .dwt1d import idwt1d_pallas
+    BATCH, n0 = y.shape
+    stages = plan_stages(n0, wt, L, y.dtype)
+    done = sum(p[3] for _nk, p in stages)
+    n_tail = n0 >> done
+    s = y[:, :n_tail]
+    if done < L:
+        s = idwt1d_pallas(s, wt, L - done)
+    return _inv_stages(s, y, n0, wt, stages)
