@@ -89,9 +89,9 @@ def test_pyramid_batched_vs_f64(wname, kind, B, n, L):
     assert np.abs(xr - x).max() < 2e-4
 
 
-def test_pyramid_batched_routing():
-    """dwt1d_pallas routes wide batches through the pyramid and narrow
-    ones through the per-level kernels; both agree."""
+def test_pyramid_batched_matches_perlevel(monkeypatch):
+    """The opt-in batched pyramid (WAVELETS_TPU_PYR1DB=1) routes through
+    dwt1d_pallas and agrees with the default per-level route."""
     from wavelets_tpu.ops.pallas import dwt1d as D1
     wt = _wt("db4", "filter")
     x = np.random.default_rng(12).standard_normal((2, 1 << 16)).astype(
@@ -100,5 +100,8 @@ def test_pyramid_batched_routing():
     assert not PY.plan_stages(4096, wt, 4, np.float32)
     with pltpu.force_tpu_interpret_mode():
         a = np.asarray(D1.dwt1d_pallas(jnp.asarray(x), wt, 4))
-        b = np.asarray(PY.dwt1d_pyramid_b(jnp.asarray(x), wt, 4))
-    assert np.abs(a - b).max() == 0.0
+        monkeypatch.setenv("WAVELETS_TPU_PYR1DB", "1")
+        b = np.asarray(D1.dwt1d_pallas(jnp.asarray(x), wt, 4))
+        c = np.asarray(PY.dwt1d_pyramid_b(jnp.asarray(x), wt, 4))
+    assert np.abs(b - c).max() == 0.0   # env routing reaches the pyramid
+    assert np.abs(a - b).max() < 2e-4   # ... which agrees with per-level

@@ -80,8 +80,11 @@ def test_wavelet_errors():
         w.wt.wavelet(w.wt.Coiflet(33))
     with pytest.raises(ValueError):
         w.wt.wavelet(w.wt.cdf97, "filter")  # biortho has no ortho filter
+    # sym5 "lifting" now WORKS (wt/factor.py factorization); the
+    # truncated Battle-Lemarie tables are the ones with no valid scheme
+    assert w.wt.wavelet(w.wt.sym5, "lifting").name == "sym5"
     with pytest.raises(ValueError):
-        w.wt.wavelet(w.wt.sym5, "lifting")  # no scheme tabulated
+        w.wt.wavelet(w.wt.ALL_CLASSES["batt4"], "lifting")
     with pytest.raises(ValueError):
         w.wt.wavelet(w.wt.db2, "nope")
     with pytest.raises(ValueError):

@@ -226,16 +226,25 @@ def _level(x, wt, fw: bool):
     return _steps(_merge(x[:, :half], x[:, half:]), wt, False)
 
 
-def dwt1d_pallas(x, wt, L: int):
-    """(B, n) batched multi-level 1-D DWT, packed layout per row.
+def _pyr_b_on() -> bool:
+    """Batched pyramid routing is OPT-IN (WAVELETS_TPU_PYR1DB=1):
+    measured on-device, the per-level MXU route wins for batched shapes
+    (3.65 vs 4.40 ms at (64, 2^18) L8 in an interleaved same-session
+    A/B) — the batch dimension already gives each per-level launch big
+    well-shaped tiles, while the staged pyramid pays ~1.5-2 us per
+    packed-output grid step and small-tile dot inefficiency.  The
+    SINGLE-signal pyramid stays default (wide1d.py): there the
+    per-level alternative has no batch to tile over and loses 1.6x."""
+    import os
+    return os.environ.get("WAVELETS_TPU_PYR1DB") == "1"
 
-    Wide rows route through the staged pyramid kernels (pyramid1d.py:
-    several levels per launch with segment-local rings, details streamed
-    into the packed buffer); otherwise one kernel per level."""
+
+def dwt1d_pallas(x, wt, L: int):
+    """(B, n) batched multi-level 1-D DWT, packed layout per row."""
     if L == 0:
         return x
     from .pyramid1d import plan_stages, dwt1d_pyramid_b
-    if plan_stages(x.shape[1], wt, L, x.dtype):
+    if _pyr_b_on() and plan_stages(x.shape[1], wt, L, x.dtype):
         return dwt1d_pyramid_b(x, wt, L)
     b, n = x.shape
     s = x
@@ -258,7 +267,7 @@ def idwt1d_pallas(y, wt, L: int):
     if L == 0:
         return y
     from .pyramid1d import plan_stages, idwt1d_pyramid_b
-    if plan_stages(y.shape[1], wt, L, y.dtype):
+    if _pyr_b_on() and plan_stages(y.shape[1], wt, L, y.dtype):
         return idwt1d_pyramid_b(y, wt, L)
     b, n = y.shape
     s = y[:, : n >> L]
