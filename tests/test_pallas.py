@@ -266,3 +266,26 @@ def test_axis0_ext_halo_kernels(wname, kind):
             (jnp.asarray(d[-halo:]), jnp.asarray(d[:halo])), jnp.asarray(d),
             wt))
     assert np.array_equal(refi, goti)
+
+
+def test_batched_2d_vmap_uses_quadrant_mode():
+    """Batched images vmap the 2-D drivers; forward must force quadrant
+    mode (packed mode alias-chains a pl.ANY buffer the Pallas TPU
+    lowering cannot batch — crashed on device before the packed=False
+    route).  packed=False must agree with packed=True."""
+    import jax
+    scheme = w.wt.wavelet(w.wt.cdf97, "lifting")
+    rng = np.random.default_rng(91)
+    x = rng.standard_normal((2, 256, 512)).astype(np.float32)
+    ref = np.stack([np.asarray(w.dwt(x[i].astype(np.float64),
+                                     w.wt.wavelet(w.wt.cdf97, "lifting"), 2))
+                    for i in range(2)])
+    with pltpu.force_tpu_interpret_mode():
+        a = np.stack([np.asarray(P.dwt2_lifting(jnp.asarray(x[i]), scheme, 2,
+                                                packed=False))
+                      for i in range(2)])
+        b = np.asarray(jax.vmap(
+            lambda v: P.dwt2_lifting(v, scheme, 2, packed=False))(
+                jnp.asarray(x)))
+    assert np.abs(a - ref).max() < 1e-4
+    assert np.abs(b - ref).max() < 1e-4

@@ -369,15 +369,18 @@ def _dwt2_packed(x, wt: OrthoFilter, L: int):
     return jax.lax.dynamic_update_slice(y, ll, (0, 0))
 
 
-def dwt2_filter(x, wt: OrthoFilter, L: int):
-    """Multi-level forward 2-D filter-bank DWT, packed layout (Pallas)."""
+def dwt2_filter(x, wt: OrthoFilter, L: int, packed: bool = True):
+    """Multi-level forward 2-D filter-bank DWT, packed layout (Pallas).
+
+    ``packed=False`` forces quadrant mode (vmap-safe — see
+    lifting2d.dwt2_lifting)."""
     if L == 0:
         return x
     import os
     # Packed mode (device-validated bit-exact vs quadrant mode): detail
     # quadrants stream straight into the final packed buffer, no XLA
     # assembly pass.  Opt out with WAVELETS_TPU_PACKED2D=0.
-    if os.environ.get("WAVELETS_TPU_PACKED2D") != "0":
+    if packed and os.environ.get("WAVELETS_TPU_PACKED2D") != "0":
         y = _dwt2_packed(x, wt, L)
         if y is not None:
             return y

@@ -449,15 +449,20 @@ def _dwt2_packed(x, scheme: GLS, L: int):
     return jax.lax.dynamic_update_slice(y, ll, (0, 0))
 
 
-def dwt2_lifting(x, scheme: GLS, L: int):
-    """Multi-level forward 2-D lifting DWT, packed layout (Pallas path)."""
+def dwt2_lifting(x, scheme: GLS, L: int, packed: bool = True):
+    """Multi-level forward 2-D lifting DWT, packed layout (Pallas path).
+
+    ``packed=False`` forces quadrant mode: the packed-mode kernels
+    alias-chain the full-size buffer through a pl.ANY input, which the
+    Pallas TPU lowering cannot batch — callers that vmap this driver
+    (batched images, TI cycle-spinning) must use quadrant mode."""
     if L == 0:
         return x
     import os
     # Packed mode (device-validated bit-exact vs quadrant mode): detail
     # quadrants stream straight into the final packed buffer, no XLA
     # assembly pass.  Opt out with WAVELETS_TPU_PACKED2D=0.
-    if os.environ.get("WAVELETS_TPU_PACKED2D") != "0":
+    if packed and os.environ.get("WAVELETS_TPU_PACKED2D") != "0":
         y = _dwt2_packed(x, scheme, L)
         if y is not None:
             return y

@@ -146,6 +146,20 @@ def denoise(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, *,
         return z
 
     pns = len(shifts)
+    # vmapping the spins batches every transform in one program — the
+    # right shape for SMALL arrays on the XLA path.  When a Pallas
+    # kernel route exists (big arrays on TPU), vmap is both unnecessary
+    # (each spin's transform already fills the chip) and UNSUPPORTED:
+    # the packed-mode kernels alias-chain a pl.ANY buffer that the
+    # Pallas lowering cannot batch.  Scan the spins one at a time there.
+    from ..transforms import _kernel_route_exists
+    if wt is not None and _kernel_route_exists(x, wt, int(L), x.ndim):
+        def one_body(acc, sh):
+            return acc + spin(sh), None
+        acc, _ = jax.lax.scan(one_body, jnp.zeros_like(x),
+                              jnp.asarray(shifts))
+        return acc / pns
+
     chunk = max(1, min(int(spin_chunk), pns))
     pad = (-pns) % chunk
     shifts_p = np.concatenate(

@@ -150,9 +150,15 @@ def _dwt_impl(x, wt, L, ndt, fw):
             fn = dwt2_filter if fw else idwt2_filter
         if x.ndim == 2:
             return fn(x, wt, L)
-        # batched images: vmap the 2-D kernels over the leading axes
+        # batched images: vmap the 2-D kernels over the leading axes.
+        # Forward must force quadrant mode — the packed-mode kernels
+        # alias-chain the full buffer through a pl.ANY input, which the
+        # Pallas TPU lowering cannot batch (it rejects the vmap-prepended
+        # block dim on ANY-space inputs).
         flat = x.reshape((-1,) + x.shape[-2:])
-        out = jax.vmap(lambda v: fn(v, wt, L))(flat)
+        call = (lambda v: fn(v, wt, L, packed=False)) if fw \
+            else (lambda v: fn(v, wt, L))
+        out = jax.vmap(call)(flat)
         return out.reshape(x.shape)
     if ndt == 1 and _use_pallas_1d(x, wt, L):
         from .ops.pallas.dwt1d import dwt1d_pallas, idwt1d_pallas
