@@ -105,3 +105,27 @@ def test_pyramid_batched_matches_perlevel(monkeypatch):
         c = np.asarray(PY.dwt1d_pyramid_b(jnp.asarray(x), wt, 4))
     assert np.abs(b - c).max() == 0.0   # env routing reaches the pyramid
     assert np.abs(a - b).max() < 2e-4   # ... which agrees with per-level
+
+
+def test_user_vmap_routes_alias_free():
+    """jax.vmap(w.dwt) must not reach the alias-chained pyramid/packed
+    kernels (the Pallas TPU lowering cannot batch pl.ANY aliases —
+    crashed on device).  The public wrappers see the BatchTracer and set
+    safe=True; results must match the unbatched route."""
+    import jax
+    from wavelets_tpu.transforms import _batch_traced
+    wt = _wt("cdf97", "lifting")
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 1 << 15)).astype(np.float32)
+    seen = []
+
+    def f(v):
+        seen.append(_batch_traced(v))
+        return w.dwt(v, wt, 4)
+
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(jax.vmap(f)(jnp.asarray(x)))
+        ref = np.asarray(w.dwt(jnp.asarray(x[0]), wt, 4))
+    assert seen == [True]
+    assert not _batch_traced(x)
+    assert np.abs(y[0] - ref).max() < 2e-4

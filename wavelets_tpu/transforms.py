@@ -130,7 +130,23 @@ def _kernel_route_exists(x, wt, L, ndt) -> bool:
             or (ndt == 3 and x.ndim == 3 and _use_pallas_3d(x, wt, L)))
 
 
-def _dwt_impl(x, wt, L, ndt, fw):
+def _batch_traced(x) -> bool:
+    """True when ``x`` is being traced by vmap RIGHT NOW (the public
+    wrappers run as plain Python during vmap tracing, so they can see
+    the BatchTracer and route away from the alias-chained packed
+    kernels, which the Pallas TPU lowering cannot batch).  Leading batch
+    dims on a plain array are the preferred — and faster — way to batch;
+    this is a safety net for user vmaps."""
+    try:  # jax.interpreters.batching.BatchTracer is a deprecation STUB
+        from jax._src.interpreters import batching
+        return isinstance(x, batching.BatchTracer)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _dwt_impl(x, wt, L, ndt, fw, safe=False):
+    """``safe=True`` avoids kernels with input_output_aliases (packed
+    modes): required under vmap batching."""
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         # The DWT is linear over C with REAL coefficients, so a complex
         # transform is exactly (dwt(re), dwt(im)) — route complex64
@@ -139,8 +155,9 @@ def _dwt_impl(x, wt, L, ndt, fw):
         # fallback, and the only path on CPU/f64).
         xr = jnp.real(x)
         if _kernel_route_exists(xr, wt, L, ndt):
-            return jax.lax.complex(_dwt_impl(xr, wt, L, ndt, fw),
-                                   _dwt_impl(jnp.imag(x), wt, L, ndt, fw))
+            return jax.lax.complex(
+                _dwt_impl(xr, wt, L, ndt, fw, safe),
+                _dwt_impl(jnp.imag(x), wt, L, ndt, fw, safe))
     if ndt == 2 and x.ndim >= 2 and _use_pallas(x, wt, L):
         if isinstance(wt, GLS):
             from .ops.pallas.lifting2d import dwt2_lifting, idwt2_lifting
@@ -149,7 +166,8 @@ def _dwt_impl(x, wt, L, ndt, fw):
             from .ops.pallas.filter2d import dwt2_filter, idwt2_filter
             fn = dwt2_filter if fw else idwt2_filter
         if x.ndim == 2:
-            return fn(x, wt, L)
+            return fn(x, wt, L, packed=False) if (safe and fw) \
+                else fn(x, wt, L)
         # batched images: vmap the 2-D kernels over the leading axes.
         # Forward must force quadrant mode — the packed-mode kernels
         # alias-chain the full buffer through a pl.ANY input, which the
@@ -164,7 +182,11 @@ def _dwt_impl(x, wt, L, ndt, fw):
         from .ops.pallas.dwt1d import dwt1d_pallas, idwt1d_pallas
         return dwt1d_pallas(x, wt, L) if fw else idwt1d_pallas(x, wt, L)
     if ndt == 1 and _use_pallas_wide1d(x, wt, L):
-        from .ops.pallas.wide1d import dwt1d_wide, idwt1d_wide
+        from .ops.pallas.wide1d import (dwt1d_wide, idwt1d_wide,
+                                        dwt1d_wide_nopyr, idwt1d_wide_nopyr)
+        if safe:  # the pyramid's packed stages alias-chain (un-vmappable)
+            return dwt1d_wide_nopyr(x, wt, L) if fw \
+                else idwt1d_wide_nopyr(x, wt, L)
         return dwt1d_wide(x, wt, L) if fw else idwt1d_wide(x, wt, L)
     if ndt == 3 and x.ndim == 3 and _use_pallas_3d(x, wt, L):
         from .ops.pallas.dwt3d import dwt3_pallas, idwt3_pallas
@@ -188,8 +210,10 @@ def _dwt_impl(x, wt, L, ndt, fw):
 # variant gives XLA the input buffer to reuse — the functional stand-in for
 # the reference's in-place dwt!/idwt! (transforms_main.jl:44-67), halving
 # peak HBM for full-size transforms.
-_dwt_jit = partial(jax.jit, static_argnames=("wt", "L", "ndt", "fw"))(_dwt_impl)
-_dwt_jit_donate = partial(jax.jit, static_argnames=("wt", "L", "ndt", "fw"),
+_dwt_jit = partial(jax.jit,
+                   static_argnames=("wt", "L", "ndt", "fw", "safe"))(_dwt_impl)
+_dwt_jit_donate = partial(jax.jit,
+                          static_argnames=("wt", "L", "ndt", "fw", "safe"),
                           donate_argnums=0)(_dwt_impl)
 
 
@@ -210,7 +234,7 @@ def dwt(x, wt: DiscreteWavelet, L: int | None = None, *,
         L = maxtransformlevels(x.shape[-ndt:])
     _check_levels(x, L, ndt)
     fn = _dwt_jit_donate if donate else _dwt_jit
-    return fn(x, wt, int(L), ndt, True)
+    return fn(x, wt, int(L), ndt, True, safe=_batch_traced(x))
 
 
 def idwt(y, wt: DiscreteWavelet, L: int | None = None, *,
@@ -222,7 +246,7 @@ def idwt(y, wt: DiscreteWavelet, L: int | None = None, *,
         L = maxtransformlevels(y.shape[-ndt:])
     _check_levels(y, L, ndt)
     fn = _dwt_jit_donate if donate else _dwt_jit
-    return fn(y, wt, int(L), ndt, False)
+    return fn(y, wt, int(L), ndt, False, safe=_batch_traced(y))
 
 
 # --- wavelet packets --------------------------------------------------------
