@@ -114,14 +114,39 @@ def main():
     sol = (2 * x.size * np.dtype(dtype).itemsize * (4 / 3)) / (bw * 1e9)
 
     gsps = size * size / dt / 1e9
-    print(json.dumps({
+    out = {
         "metric": f"2d_cdf97_lifting_dwt_L{levels}_{size}x{size}_{np.dtype(dtype).name}",
         "value": round(gsps, 4),
         "unit": "Gsamples/s",
         "vs_baseline": round(gsps / BASELINE_GSPS, 2),
         "session_copy_bw_gbps": round(bw, 1),
         "sol_fraction": round(sol / dt, 3),
-    }))
+    }
+
+    # bfloat16 companion number (TPU-native storage dtype; rides the same
+    # MXU kernels with native 1-pass dots).  The f32 headline is
+    # MXU-FLOP-bound at fast sessions (the 3-pass bf16-split emulation),
+    # so its sol_fraction undershoots there even though the kernel sits on
+    # the DMA roofline — the bf16 row shows roofline attainment with the
+    # dots at native cost.  Skipped on CPU (no MXU path).
+    if platform != "cpu":
+        try:
+            xb = x.astype(jnp.bfloat16)
+            yb = step(xb)
+            barrier(yb)
+            t0 = time.perf_counter()
+            yb = xb
+            for _ in range(iters):
+                yb = step(yb)
+            barrier(yb)
+            dtb = (time.perf_counter() - t0) / iters
+            solb = (2 * x.size * 2 * (4 / 3)) / (bw * 1e9)
+            out["bf16_gsps"] = round(size * size / dtb / 1e9, 4)
+            out["bf16_sol_fraction"] = round(solb / dtb, 3)
+        except Exception:
+            pass
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

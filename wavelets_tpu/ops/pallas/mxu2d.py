@@ -178,10 +178,13 @@ def _plan(m: int, n: int, wt, dtype):
     if tn is None or n % _HN or n // _HN < 2:
         return None
     # taller tiles amortize the col-dot halo rows and grid overhead but
-    # grow the VMEM live set — 128 is the validated default;
-    # WAVELETS_TPU_MXU_TM=256 is an A/B knob (compile may fail on VMEM)
+    # grow the VMEM live set — 128 is the validated f32 default (tm=256
+    # measured a wash at 8192² and worse at 16384²), while bf16 defaults
+    # to 256 (half the bytes per tile; measured ~9% faster at 16384² L8
+    # in an interleaved A/B).  WAVELETS_TPU_MXU_TM overrides both.
     import os
-    tm = int(os.environ.get("WAVELETS_TPU_MXU_TM", "128"))
+    tm_default = "256" if np.dtype(dtype) == np.dtype(jnp.bfloat16) else "128"
+    tm = int(os.environ.get("WAVELETS_TPU_MXU_TM", tm_default))
     while tm >= 2 * hm:
         if m % tm == 0 and tm % hm == 0:
             break
@@ -700,14 +703,119 @@ def _mxu_packed_call(active, y, yshape, wt):
     )(*inputs)
 
 
+def _packed_dma() -> bool:
+    """Use the DMA-packed forward kernel (default on device).
+
+    The q-axis packed kernel spends 3 grid steps per tile — one computing,
+    two existing only to place detail quadrants in the full-size buffer —
+    and at ~1.5-2 µs/step on this platform those placement steps are the
+    dominant non-DMA cost at 16k² (≈ 2×1024 steps/level-1).  The DMA
+    variant collapses the grid to (nbr, nbc) and writes lh/hl/hh with
+    in-kernel async copies straight to the packed buffer's HBM at
+    program-id-derived offsets.  WAVELETS_TPU_PACKED_DMA=0 reverts."""
+    import os
+    return os.environ.get("WAVELETS_TPU_PACKED_DMA") != "0"
+
+
+def _mxu_packed_dma_kernel(*refs, tm, mode, gl, m, has_alias, nbr, nbc):
+    if has_alias:
+        (ins, wr_ref, wc_ref, _yin, ll_ref, y_ref, stash, sem) = (
+            refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
+            refs[14], refs[15])
+    else:
+        (ins, wr_ref, wc_ref, ll_ref, y_ref, stash, sem) = (
+            refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
+            refs[14])
+    ll, lh, hl, hh = _fw_quads_body(ins, wr_ref, wc_ref, tm=tm,
+                                    mode=mode, gl=gl, m=m)
+    ll_ref[:] = ll
+    stash[0] = lh
+    stash[1] = hl
+    stash[2] = hh
+    bm, bn = ll.shape
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    # element offsets of this tile's quadrant blocks in the packed buffer:
+    # LH (i, j + nbc), HL (i + nbr, j), HH (i + nbr, j + nbc) in block
+    # coords (cf. y_im above); all offsets are (bm, bn)-aligned so the
+    # HBM destinations are native-tile-aligned.
+    r_lo, r_hi = i * bm, (i + nbr) * bm
+    c_lo, c_hi = j * bn, (j + nbc) * bn
+    dmas = [
+        pltpu.make_async_copy(
+            stash.at[0], y_ref.at[pl.ds(r_lo, bm), pl.ds(c_hi, bn)],
+            sem.at[0]),
+        pltpu.make_async_copy(
+            stash.at[1], y_ref.at[pl.ds(r_hi, bm), pl.ds(c_lo, bn)],
+            sem.at[1]),
+        pltpu.make_async_copy(
+            stash.at[2], y_ref.at[pl.ds(r_hi, bm), pl.ds(c_hi, bn)],
+            sem.at[2]),
+    ]
+    for d in dmas:
+        d.start()
+    for d in dmas:
+        d.wait()
+
+
+def _mxu_packed_call_dma(active, y, yshape, wt):
+    """DMA-packed forward level: one grid step per tile (no q axis); the
+    three detail quadrants leave via in-kernel VMEM→HBM async copies."""
+    ml, nl = active.shape
+    M, N = yshape
+    tm, tn, hm = _plan(ml, nl, wt, active.dtype)
+    gl = _row_gl(tn)
+    bm, bn = tm // 2, tn // 2
+    nbr = ml // tm
+    nbc = nl // tn
+    mr = _row_margin(wt)
+    wr = _w_row(wt, active.dtype, gl, mr)
+    wc = _w_col(wt, tm, hm, active.dtype)
+    in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
+        pl.BlockSpec(wr.shape, lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, tm + 2 * hm), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [active] * 9 + [wr, wc]
+    aliases = {}
+    if y is not None:
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
+        inputs = inputs + [y]
+        aliases = {11: 1}
+    return pl.pallas_call(
+        partial(_mxu_packed_dma_kernel, tm=tm, mode=_mode_for(active.dtype),
+                gl=gl, m=mr, has_alias=y is not None, nbr=nbr, nbc=nbc),
+        grid=(ml // tm, nl // tn),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ml // 2, nl // 2), active.dtype),
+            jax.ShapeDtypeStruct((M, N), active.dtype),
+        ),
+        input_output_aliases=aliases,
+        scratch_shapes=[pltpu.VMEM((3, bm, bn), active.dtype),
+                        pltpu.SemaphoreType.DMA((3,))],
+        compiler_params=_sem(2),
+    )(*inputs)
+
+
 def mxu_level_fw_packed(active, y, wt):
     """One forward level in packed mode via the MXU body; ``y`` is the
     full-size packed buffer, donated and alias-chained (see
     fused2d.level_fw_packed).  Returns (ll, y_out)."""
+    if _packed_dma():
+        return _mxu_packed_call_dma(active, y, y.shape, wt)
     return _mxu_packed_call(active, y, y.shape, wt)
 
 
 def mxu_level_fw_packed_first(active, wt):
     """Level-1 packed call allocating the full-size buffer.  Returns
     (ll, y)."""
+    if _packed_dma():
+        return _mxu_packed_call_dma(active, None, active.shape, wt)
     return _mxu_packed_call(active, None, active.shape, wt)
