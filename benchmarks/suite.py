@@ -16,7 +16,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
@@ -24,21 +23,11 @@ import numpy as np
 
 
 def _timeit(fn, x, iters):
-    import jax.numpy as jnp
-
-    def bar(v):
-        flat = v.reshape(-1)
-        return float(jnp.sum(flat[:1]))
-
-    y = fn(x)
-    bar(y)
-    t0 = time.perf_counter()
-    y = x
-    same_shape = fn(x).shape == x.shape
-    for _ in range(iters):
-        y = fn(y if same_shape else x)
-    bar(y)
-    return (time.perf_counter() - t0) / iters
+    # single shared chained-barrier implementation (profiling.time_fn):
+    # the suite, the regression grid, and the A/B scripts all time
+    # through it so the methodology cannot drift.
+    from wavelets_tpu.profiling import time_fn
+    return time_fn(fn, x, iters)
 
 
 def main():

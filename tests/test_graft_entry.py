@@ -5,6 +5,7 @@ import jax
 import pytest
 
 
+@pytest.mark.slow   # the round driver runs this exact entry out-of-band
 def test_dryrun_multichip():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

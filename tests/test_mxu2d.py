@@ -90,8 +90,8 @@ def test_mxu_multilevel_integration(monkeypatch):
     monkeypatch.setenv("WAVELETS_TPU_MXU2D", "1")
     scheme = w.wt.wavelet(w.wt.cdf97, "lifting")
     rng = np.random.default_rng(84)
-    x = rng.standard_normal((512, 512)).astype(np.float32)
-    L = 4
+    x = rng.standard_normal((256, 256)).astype(np.float32)
+    L = 3
     ref = np.asarray(w.dwt(x.astype(np.float64),
                            w.wt.wavelet(w.wt.cdf97, "lifting"), L))
     with pltpu.force_tpu_interpret_mode():
@@ -182,8 +182,8 @@ def test_mxu_packed_pyramid_matches_quads(monkeypatch):
     """Packed mode (default) == quadrant mode, both engines, and matches
     the f64 reference; round-trips through the packed-read inverse."""
     rng = np.random.default_rng(88)
-    x = rng.standard_normal((512, 512)).astype(np.float32)
-    L = 3
+    x = rng.standard_normal((256, 256)).astype(np.float32)
+    L = 2
     from wavelets_tpu.ops.pallas import filter2d as F
     for wname, kind in (("cdf97", "lifting"), ("db4", "filter")):
         wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
@@ -241,8 +241,8 @@ def test_mxu_dwt1d_batched_matches_reference():
     import jax
     from wavelets_tpu.ops.pallas import dwt1d as D
     rng = np.random.default_rng(91)
-    x = rng.standard_normal((32, 1024)).astype(np.float32)
-    L = 4
+    x = rng.standard_normal((16, 512)).astype(np.float32)
+    L = 3
     for wname, kind in (("cdf97", "lifting"), ("sym6", "filter")):
         wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
         ref = np.asarray(jax.vmap(lambda r: w.dwt(r, wt, L))(
@@ -266,17 +266,17 @@ def test_mxu_bf16_2d():
     for wname, kind, P2 in (("cdf97", "lifting", L2), ("db4", "filter", F2)):
         wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
         assert M.mxu_ok(256, 512, wt, jnp.bfloat16)
-        assert P2.pallas_ok((256, 512), wt, 3, jnp.bfloat16)
+        assert P2.pallas_ok((256, 512), wt, 2, jnp.bfloat16)
         # the crash-prone VPU plans must keep rejecting bf16
         if P2 is L2:
             assert L2._plan_level(256, 512, wt, jnp.bfloat16) is None
-        ref = np.asarray(w.dwt(np.asarray(x, np.float64), wt, 3))
+        ref = np.asarray(w.dwt(np.asarray(x, np.float64), wt, 2))
         scale = np.abs(ref).max()
         fw = (L2.dwt2_lifting if P2 is L2 else F2.dwt2_filter)
         inv = (L2.idwt2_lifting if P2 is L2 else F2.idwt2_filter)
         with pltpu.force_tpu_interpret_mode():
-            y = np.asarray(fw(jnp.asarray(x), wt, 3), np.float64)
-            xr = np.asarray(inv(jnp.asarray(y, jnp.bfloat16), wt, 3),
+            y = np.asarray(fw(jnp.asarray(x), wt, 2), np.float64)
+            xr = np.asarray(inv(jnp.asarray(y, jnp.bfloat16), wt, 2),
                             np.float64)
         assert np.abs(y - ref).max() < 0.08 * scale, wname
         assert np.abs(xr - np.asarray(x, np.float64)).max() < 0.08 * scale, \
@@ -291,17 +291,17 @@ def test_complex64_rides_kernels(monkeypatch):
     monkeypatch.setenv("WAVELETS_TPU_PALLAS", "1")
     from wavelets_tpu.transforms import _kernel_route_exists
     rng = np.random.default_rng(93)
-    x = (rng.standard_normal((192, 768))
-         + 1j * rng.standard_normal((192, 768))).astype(np.complex64)
+    x = (rng.standard_normal((128, 512))
+         + 1j * rng.standard_normal((128, 512))).astype(np.complex64)
     wt = w.wt.wavelet(w.wt.cdf97, "lifting")
-    assert _kernel_route_exists(jnp.asarray(x).real, wt, 3, 2)
-    ref = np.asarray(w.dwt(x.astype(np.complex128), wt, 3))
+    assert _kernel_route_exists(jnp.asarray(x).real, wt, 2, 2)
+    ref = np.asarray(w.dwt(x.astype(np.complex128), wt, 2))
     with pltpu.force_tpu_interpret_mode():
         y = np.asarray(jax.jit(
-            lambda v: w.transforms._dwt_impl(v, wt, 3, 2, True))(
+            lambda v: w.transforms._dwt_impl(v, wt, 2, 2, True))(
                 jnp.asarray(x)))
         xr = np.asarray(jax.jit(
-            lambda v: w.transforms._dwt_impl(v, wt, 3, 2, False))(
+            lambda v: w.transforms._dwt_impl(v, wt, 2, 2, False))(
                 jnp.asarray(y, np.complex64)))
     assert y.dtype == np.complex64
     assert np.abs(y - ref).max() < 1e-3
@@ -322,7 +322,7 @@ def test_non_pow2_lane_shapes_route_correctly(monkeypatch):
     assert not T.tail_ok(96, 384, 1, w.wt.wavelet(w.wt.cdf97, "lifting"),
                          np.float32)
     rng = np.random.default_rng(94)
-    x = rng.standard_normal((192, 768)).astype(np.float32)
+    x = rng.standard_normal((128, 768)).astype(np.float32)
     for wname, kind, fw, inv in (
             ("cdf97", "lifting", dwt2_lifting, idwt2_lifting),
             ("db4", "filter", dwt2_filter, idwt2_filter)):
@@ -343,10 +343,10 @@ def test_mxu_bf16_batched_1d():
     round-trip."""
     from wavelets_tpu.ops.pallas import dwt1d as D
     rng = np.random.default_rng(95)
-    x = rng.standard_normal((32, 2048)).astype(jnp.bfloat16)
+    x = rng.standard_normal((32, 1024)).astype(jnp.bfloat16)
     wt = w.wt.wavelet(w.wt.cdf97, "lifting")
     assert D.pallas_ok(x.shape, wt, 3, jnp.bfloat16)
-    assert D._mxu_level_plan(32, 2048, wt, jnp.bfloat16) is not None
+    assert D._mxu_level_plan(32, 1024, wt, jnp.bfloat16) is not None
     ref = np.asarray(w.dwt(np.asarray(x, np.float64), wt, 3, ndt=1))
     scale = np.abs(ref).max()
     with pltpu.force_tpu_interpret_mode():
@@ -363,10 +363,10 @@ def test_mxu_bf16_3d():
     accepts bf16 when the MXU variant covers both directions)."""
     from wavelets_tpu.ops.pallas import dwt3d as D3, axis0 as A0
     wt = w.wt.wavelet(w.wt.cdf97, "lifting")
-    assert A0.axis0_ok(64, 512, wt, jnp.bfloat16)
-    assert D3.pallas_ok((64, 64, 512), wt, 1, jnp.bfloat16)
+    assert A0.axis0_ok(64, 256, wt, jnp.bfloat16)
+    assert D3.pallas_ok((64, 64, 256), wt, 1, jnp.bfloat16)
     rng = np.random.default_rng(96)
-    x = rng.standard_normal((64, 64, 512)).astype(jnp.bfloat16)
+    x = rng.standard_normal((64, 64, 256)).astype(jnp.bfloat16)
     ref = np.asarray(w.dwt(np.asarray(x, np.float64), wt, 1))
     scale = np.abs(ref).max()
     with pltpu.force_tpu_interpret_mode():

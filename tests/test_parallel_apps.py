@@ -23,10 +23,10 @@ def test_bestbasistree_matches_single_device(wname, kind):
     mesh = _mesh()
     wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
     rng = np.random.default_rng(91)
-    x = rng.standard_normal(512)
+    x = rng.standard_normal(256)
 
     ref = w.bestbasistree(jnp.asarray(x), wt)
-    xs = parallel.shard_rows(jnp.asarray(x).reshape(512, 1), mesh)[:, 0]
+    xs = parallel.shard_rows(jnp.asarray(x).reshape(256, 1), mesh)[:, 0]
     got = parallel.bestbasistree(xs, wt, mesh=mesh)
     assert np.array_equal(ref, got)
 
@@ -35,9 +35,9 @@ def test_bestbasistree_limited_depth_tree():
     mesh = _mesh()
     wt = w.wt.wavelet(w.wt.db2)
     rng = np.random.default_rng(92)
-    x = rng.standard_normal(256)
-    ref = w.bestbasistree(jnp.asarray(x), wt, L=4)
-    got = parallel.bestbasistree(jnp.asarray(x), wt, L=4, mesh=mesh)
+    x = rng.standard_normal(128)
+    ref = w.bestbasistree(jnp.asarray(x), wt, L=3)
+    got = parallel.bestbasistree(jnp.asarray(x), wt, L=3, mesh=mesh)
     assert np.array_equal(ref, got)
 
 
@@ -78,13 +78,18 @@ def test_denoise_TI_sharded_runs():
 
 def test_sharded_modwt_roundtrip_and_match():
     """Sharded MODWT: ppermute halos while they fit one neighbor, all-
-    gather for the deep levels whose dilated halo spans devices."""
+    gather for the deep levels whose dilated halo spans devices.
+
+    512 samples over 8 devices = 64/shard; db4's dilated halo
+    2^(j-1)*7 exceeds 64 from level 5, so L=5 covers BOTH the ppermute
+    and the all-gather paths (levels 1-4 vs 5) at ~1/3 the compile cost
+    of the old 1024/L8 shape."""
     mesh = _mesh()
     wt = w.wt.wavelet(w.wt.db4)
     rng = np.random.default_rng(96)
-    x = rng.standard_normal(1024)
-    ref = np.asarray(w.modwt(jnp.asarray(x), wt, 8))
-    got = np.asarray(parallel.modwt(jnp.asarray(x), wt, 8, mesh=mesh))
+    x = rng.standard_normal(512)
+    ref = np.asarray(w.modwt(jnp.asarray(x), wt, 5))
+    got = np.asarray(parallel.modwt(jnp.asarray(x), wt, 5, mesh=mesh))
     assert np.abs(ref - got).max() < 1e-10
     xr = np.asarray(parallel.imodwt(jnp.asarray(got), wt, mesh=mesh))
     assert np.abs(xr - x).max() < 1e-10

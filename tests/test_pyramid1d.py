@@ -24,10 +24,10 @@ def _wt(wname, kind):
     ("sym6", "filter"),
 ])
 @pytest.mark.parametrize("n,L", [
-    (1 << 17, 4),        # two full stages
-    (1 << 17, 6),        # stages + per-level/jnp tail
-    (1 << 16, 8),        # deep: stages down to the jnp tail
-    (3 * (1 << 15), 3),  # non-power-of-two length, odd level count
+    (1 << 16, 4),        # two full stages
+    (1 << 15, 6),        # stage + per-level/jnp tail
+    (1 << 14, 8),        # deep: stage down to the jnp tail
+    (3 * (1 << 13), 3),  # non-power-of-two length, odd level count
 ])
 def test_pyramid_fw_inv_vs_f64(wname, kind, n, L):
     wt = _wt(wname, kind)
@@ -61,7 +61,7 @@ def test_pyramid_matches_perlevel_wide():
     over the same semantics — cross-check them directly."""
     from wavelets_tpu.ops.pallas import wide1d as W1
     wt = _wt("db4", "filter")
-    n, L = 1 << 16, 5
+    n, L = 1 << 15, 5
     rng = np.random.default_rng(9)
     x = rng.standard_normal(n).astype(np.float32)
     with pltpu.force_tpu_interpret_mode():
@@ -73,7 +73,7 @@ def test_pyramid_matches_perlevel_wide():
 @pytest.mark.parametrize("wname,kind", [
     ("cdf97", "lifting"), ("db2", "filter"),
 ])
-@pytest.mark.parametrize("B,n,L", [(2, 1 << 16, 4), (3, 1 << 16, 8)])
+@pytest.mark.parametrize("B,n,L", [(2, 1 << 15, 4), (3, 1 << 15, 8)])
 def test_pyramid_batched_vs_f64(wname, kind, B, n, L):
     """(B, n) batches: segment-local rings + per-signal packed regions."""
     wt = _wt(wname, kind)
@@ -94,9 +94,9 @@ def test_pyramid_batched_matches_perlevel(monkeypatch):
     dwt1d_pallas and agrees with the default per-level route."""
     from wavelets_tpu.ops.pallas import dwt1d as D1
     wt = _wt("db4", "filter")
-    x = np.random.default_rng(12).standard_normal((2, 1 << 16)).astype(
+    x = np.random.default_rng(12).standard_normal((2, 1 << 15)).astype(
         np.float32)
-    assert PY.plan_stages(1 << 16, wt, 4, np.float32)
+    assert PY.plan_stages(1 << 15, wt, 4, np.float32)
     assert not PY.plan_stages(4096, wt, 4, np.float32)
     with pltpu.force_tpu_interpret_mode():
         a = np.asarray(D1.dwt1d_pallas(jnp.asarray(x), wt, 4))
@@ -107,25 +107,25 @@ def test_pyramid_batched_matches_perlevel(monkeypatch):
     assert np.abs(a - b).max() < 2e-4   # ... which agrees with per-level
 
 
-def test_user_vmap_routes_alias_free():
+def test_user_vmap_routes_alias_free(monkeypatch):
     """jax.vmap(w.dwt) must not reach the alias-chained pyramid/packed
     kernels (the Pallas TPU lowering cannot batch pl.ANY aliases —
-    crashed on device).  The public wrappers see the BatchTracer and set
-    safe=True; results must match the unbatched route."""
+    crashed on device).  The custom_vmap guard in transforms._guard_vmap
+    reroutes the batch to the alias-free variants; results must match
+    the unbatched route and the reroute must actually fire (so a JAX
+    upgrade cannot silently reintroduce the crash fixed in 0d090d0)."""
     import jax
-    from wavelets_tpu.transforms import _batch_traced
+    import wavelets_tpu.transforms as T
+    monkeypatch.setenv("WAVELETS_TPU_PALLAS", "1")
     wt = _wt("cdf97", "lifting")
     rng = np.random.default_rng(13)
-    x = rng.standard_normal((2, 1 << 15)).astype(np.float32)
-    seen = []
+    n, L = 1 << 15, 4
+    assert PY.plan_stages(n, wt, L, np.float32)   # the guarded route
+    x = rng.standard_normal((2, n)).astype(np.float32)
 
-    def f(v):
-        seen.append(_batch_traced(v))
-        return w.dwt(v, wt, 4)
-
+    before = T.VMAP_REROUTES
     with pltpu.force_tpu_interpret_mode():
-        y = np.asarray(jax.vmap(f)(jnp.asarray(x)))
-        ref = np.asarray(w.dwt(jnp.asarray(x[0]), wt, 4))
-    assert seen == [True]
-    assert not _batch_traced(x)
+        y = np.asarray(jax.vmap(lambda v: w.dwt(v, wt, L))(jnp.asarray(x)))
+        ref = np.asarray(w.dwt(jnp.asarray(x[0]), wt, L))
+    assert T.VMAP_REROUTES > before   # the custom_vmap rule fired
     assert np.abs(y[0] - ref).max() < 2e-4

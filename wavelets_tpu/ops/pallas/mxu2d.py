@@ -171,8 +171,17 @@ def _plan(m: int, n: int, wt, dtype):
     if max(lo, hi) > 120:     # must fit the 128-lane window margins
         return None
     from .common import halo_granule
+    import os
     hm = roundup(max(lo, hi, 1), halo_granule(dtype))
-    tn = next((c for c in (2048, 1024, 512, 256) if n % c == 0), None)
+    # wider tiles amortize the fixed 128-lane halo columns (12.5% extra
+    # read at tn=2048 vs 6.25% at 4096 — the halo re-read is the largest
+    # DMA term above the 2-pass model); 4096 is opt-in pending VMEM
+    # validation across shapes (WAVELETS_TPU_MXU_TN).
+    tn_env = os.environ.get("WAVELETS_TPU_MXU_TN")
+    cands = (4096, 2048, 1024, 512, 256)
+    if tn_env:   # preferred width, falling back to the standard ladder
+        cands = (int(tn_env),) + cands
+    tn = next((c for c in cands if n % c == 0), None)
     # torus-wrapped halo index maps are correct for any granule count
     # >= 2 (left of granule 0 is the last granule)
     if tn is None or n % _HN or n // _HN < 2:
@@ -192,6 +201,17 @@ def _plan(m: int, n: int, wt, dtype):
     else:
         return None
     if m // hm < 2:
+        return None
+    # VMEM feasibility, calibrated on the measured compile boundary: the
+    # scoped-vmem OOM line falls between extended-tile sizes 2.51 MB
+    # (f32 144x4352 / 272x2304 and bf16 288x4352 all compile) and
+    # 2.65 MB (f32 272x4352 and bf16 576x2304 both OOM the 16 MB scoped
+    # limit).  Drop to the next narrower tn when over the line instead
+    # of failing at compile time.
+    itemsize = np.dtype(dtype).itemsize
+    while tn > 256 and (tm + 2 * hm) * (tn + 256) * itemsize > 2_550_000:
+        tn //= 2
+    if n % tn:
         return None
     return tm, tn, hm
 
@@ -317,6 +337,249 @@ def _row_margin(wt) -> int:
     return min(128, roundup(max(lo, hi, lo2, hi2, 1), 32))
 
 
+def _mxu_body_version() -> str:
+    """Forward compute-body structure.
+
+    ``v1`` materializes the halo-extended tile, the row-dot intermediate
+    V, and the full Y before slicing quadrants — ~4 extra VPU passes
+    over the tile per grid step.  Round-3 measurement (benchmarks/ab/
+    level1_decomp.py) showed the kernel fully overlaps grid DMA with MXU
+    compute, so those VPU passes ARE the critical path at fast sessions.
+    Measured verdicts at 16k² level-1 (342-358 GB/s sessions): ``v1``
+    7.69-7.91 ms, ``v2`` (per-window fused col dots + narrow writes)
+    10.6 ms, ``v3`` (v1 structure minus the ext concat / V chain)
+    8.60 f32 but -0.14 bf16 — many small ops lose to few big ones on
+    this VPU, and the removable concats were not the critical path.
+    ``v1`` stays the default; v2/v3 are kept as measured negative
+    results reachable via WAVELETS_TPU_MXU_BODY for future toolchains.
+    """
+    import os
+    return os.environ.get("WAVELETS_TPU_MXU_BODY", "v1")
+
+
+def _fw_body_v2(ins, wr_ref, wc2_ref, emit, *, tm, hm, mode, gl, m=_HN):
+    """Per-window fused forward body.
+
+    For each lane window j: row-dot the mid band and the (2hm)-row
+    top|bottom halo band, stack the two result pieces, col-dot with the
+    [mid-rows | halo-rows]-ordered column weight (``_w_col2``), and
+    ``emit(q, c0, val)`` the four quadrant column blocks at output-lane
+    offset c0 (write-combined to 128-lane chunks).  Nothing tile-sized
+    is materialized beyond the bf16 splits of the input bands."""
+    nw, nn, ne, ww, cc, ee, sw, ss, se = (r[:] for r in ins)
+    tn = cc.shape[1]
+    nj = tn // gl
+    w_ = gl + 2 * m
+    off = _HN - m
+    dt = cc.dtype
+    split = mode in ("split3", "split3cat")
+
+    # (2hm, *) top|bottom halo bands — tiny row concats
+    tb_w = jnp.concatenate([nw, sw], axis=0)
+    tb_c = jnp.concatenate([nn, ss], axis=0)
+    tb_e = jnp.concatenate([ne, se], axis=0)
+
+    if split:
+        band = {"m": tuple(map(_split_bf16, (ww, cc, ee))),
+                "tb": tuple(map(_split_bf16, (tb_w, tb_c, tb_e)))}
+    else:
+        band = {"m": ((ww, None), (cc, None), (ee, None)),
+                "tb": ((tb_w, None), (tb_c, None), (tb_e, None))}
+
+    wr = wr_ref[:]
+    wc2 = wc2_ref[:]
+    if mode == "split3cat":
+        wrh, wrl = _split_bf16(wr)
+        wr_cat = jnp.concatenate([wrh, wrh, wrl], axis=0)
+        wch, wcl = _split_bf16(wc2)
+        # pairs with P = [p_hi; p_lo; p_hi]: wch@p_hi + wch@p_lo + wcl@p_hi
+        wc_cat = jnp.concatenate([wch, wch, wcl], axis=1)
+    elif mode == "split3":
+        wr_s = _split_bf16(wr)
+        wc_s = _split_bf16(wc2)
+
+    def lane_win(parts, c0, k):
+        """Window [c0, c0+w_) of a (w|c|e) band triple, component k."""
+        pw, pc, pe = (p[k] for p in parts)
+        ps = []
+        if c0 < _HN:
+            ps.append(pw[:, c0:min(_HN, c0 + w_)])
+        s = max(c0, _HN) - _HN
+        e = min(c0 + w_, _HN + tn) - _HN
+        if e > s:
+            ps.append(pc[:, s:e])
+        if c0 + w_ > _HN + tn:
+            ps.append(pe[:, :c0 + w_ - _HN - tn])
+        return ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=1)
+
+    def row_dot(parts, c0):
+        if mode == "split3cat":
+            ah = lane_win(parts, c0, 0)
+            al = lane_win(parts, c0, 1)
+            A = jnp.concatenate([ah, al, ah], axis=1)
+            return jnp.dot(A, wr_cat, preferred_element_type=jnp.float32)
+        if mode == "split3":
+            ah = lane_win(parts, c0, 0)
+            al = lane_win(parts, c0, 1)
+            return (jnp.dot(ah, wr_s[0], preferred_element_type=jnp.float32)
+                    + jnp.dot(ah, wr_s[1], preferred_element_type=jnp.float32)
+                    + jnp.dot(al, wr_s[0], preferred_element_type=jnp.float32))
+        a = lane_win(parts, c0, 0)
+        if mode == "highest":
+            return jnp.dot(a, wr, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        return jnp.dot(a, wr, preferred_element_type=jnp.float32)
+
+    def col_dot(piece):
+        if mode == "split3cat":
+            ph, plo = _split_bf16(piece)
+            P = jnp.concatenate([ph, plo, ph], axis=0)
+            return jnp.dot(wc_cat, P, preferred_element_type=jnp.float32)
+        if mode == "split3":
+            ph, plo = _split_bf16(piece)
+            return (jnp.dot(wc_s[0], ph, preferred_element_type=jnp.float32)
+                    + jnp.dot(wc_s[1], ph, preferred_element_type=jnp.float32)
+                    + jnp.dot(wc_s[0], plo, preferred_element_type=jnp.float32))
+        p = piece.astype(dt)
+        if mode == "highest":
+            return jnp.dot(wc2, p, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        return jnp.dot(wc2, p, preferred_element_type=jnp.float32)
+
+    half = gl // 2
+    tm2 = tm // 2
+    pend = [None] * 4   # write-combining stage for 64-lane halves
+
+    def put(q, j, val):
+        if half >= 128:
+            emit(q, half * j, val)
+        elif j % 2 == 0:
+            pend[q] = val
+        else:
+            emit(q, half * (j - 1),
+                 jnp.concatenate([pend[q], val], axis=1))
+
+    for j in range(nj):
+        c0 = gl * j + off
+        pm = row_dot(band["m"], c0)         # (tm, gl) f32
+        ptb = row_dot(band["tb"], c0)       # (2hm, gl) f32
+        piece = jnp.concatenate([pm, ptb], axis=0)
+        y = col_dot(piece).astype(dt)       # (tm, gl): [a|d] x [s|d]
+        put(0, j, y[:tm2, :half])
+        put(1, j, y[:tm2, half:])
+        put(2, j, y[tm2:, :half])
+        put(3, j, y[tm2:, half:])
+
+
+def _fw_quads_body_v3(ins, wr_ref, wc2_ref, *, tm, hm, mode, gl, m=_HN):
+    """v1's big-dot structure with the tile-sized glue passes removed.
+
+    Differences from v1 (kept: one col dot over the full lane width, one
+    row dot per 128/256-lane window):
+    * no halo-extended tile is materialized — the row dots run per row
+      band (the (tm)-row mid band sliced straight from the ww/cc/ee
+      refs; a (2hm)-row top|bottom band from tiny row concats), and the
+      column dot splits its K dimension into [mid | top|bottom] chunks
+      against the ``_w_col2`` column order;
+    * V is assembled with ONE 32-piece concat in [S | D] order instead
+      of the S-concat + D-concat + V-concat chain;
+    * the f32 column dot uses split3 (three big dots) instead of
+      split3cat so V is never triplicated along K.
+    v2 (per-window fused col dots + narrow output writes) measured ~3 ms
+    SLOWER than v1 at 16k² — many narrow ops lose to few big ones; v3
+    keeps op sizes and only deletes passes."""
+    nw, nn, ne, ww, cc, ee, sw, ss, se = (r[:] for r in ins)
+    tn = cc.shape[1]
+    nj = tn // gl
+    w_ = gl + 2 * m
+    off = _HN - m
+    dt = cc.dtype
+    split = mode in ("split3", "split3cat")
+
+    tb_w = jnp.concatenate([nw, sw], axis=0)
+    tb_c = jnp.concatenate([nn, ss], axis=0)
+    tb_e = jnp.concatenate([ne, se], axis=0)
+
+    if split:
+        band_m = tuple(map(_split_bf16, (ww, cc, ee)))
+        band_tb = tuple(map(_split_bf16, (tb_w, tb_c, tb_e)))
+    else:
+        band_m = ((ww, None), (cc, None), (ee, None))
+        band_tb = ((tb_w, None), (tb_c, None), (tb_e, None))
+
+    wr = wr_ref[:]
+    wc2 = wc2_ref[:]
+    if mode == "split3cat":
+        wrh, wrl = _split_bf16(wr)
+        wr_cat = jnp.concatenate([wrh, wrh, wrl], axis=0)
+
+    def lane_win(parts, c0, k):
+        pw, pc, pe = (p[k] for p in parts)
+        ps = []
+        if c0 < _HN:
+            ps.append(pw[:, c0:min(_HN, c0 + w_)])
+        s = max(c0, _HN) - _HN
+        e = min(c0 + w_, _HN + tn) - _HN
+        if e > s:
+            ps.append(pc[:, s:e])
+        if c0 + w_ > _HN + tn:
+            ps.append(pe[:, :c0 + w_ - _HN - tn])
+        return ps[0] if len(ps) == 1 else jnp.concatenate(ps, axis=1)
+
+    def row_dot(parts, c0):
+        if mode == "split3cat":
+            ah = lane_win(parts, c0, 0)
+            al = lane_win(parts, c0, 1)
+            A = jnp.concatenate([ah, al, ah], axis=1)
+            return jnp.dot(A, wr_cat, preferred_element_type=jnp.float32)
+        if mode == "split3":
+            ah = lane_win(parts, c0, 0)
+            al = lane_win(parts, c0, 1)
+            wrh, wrl = _split_bf16(wr)
+            return (jnp.dot(ah, wrh, preferred_element_type=jnp.float32)
+                    + jnp.dot(ah, wrl, preferred_element_type=jnp.float32)
+                    + jnp.dot(al, wrh, preferred_element_type=jnp.float32))
+        a = lane_win(parts, c0, 0)
+        if mode == "highest":
+            return jnp.dot(a, wr, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        return jnp.dot(a, wr, preferred_element_type=jnp.float32)
+
+    half = gl // 2
+    pm, ptb = [], []
+    for j in range(nj):
+        c0 = gl * j + off
+        pm.append(row_dot(band_m, c0))
+        ptb.append(row_dot(band_tb, c0))
+
+    def assemble(ps):
+        # one [S | D]-ordered concat of the 2*nj piece halves
+        return jnp.concatenate([p[:, :half] for p in ps]
+                               + [p[:, half:] for p in ps], axis=1)
+
+    V_m = assemble(pm)                                # (tm, tn) f32
+    V_tb = assemble(ptb)                              # (2hm, tn) f32
+    wc_m, wc_tb = wc2[:, :tm], wc2[:, tm:]
+
+    def col_dot(wc_part, V):
+        if split:   # split3-style: V is split once, never K-triplicated
+            vh, vl = _split_bf16(V)
+            wh, wl = _split_bf16(wc_part)
+            return (jnp.dot(wh, vh, preferred_element_type=jnp.float32)
+                    + jnp.dot(wh, vl, preferred_element_type=jnp.float32)
+                    + jnp.dot(wl, vh, preferred_element_type=jnp.float32))
+        v = V.astype(dt)
+        if mode == "highest":
+            return jnp.dot(wc_part, v, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        return jnp.dot(wc_part, v, preferred_element_type=jnp.float32)
+
+    Y = (col_dot(wc_m, V_m) + col_dot(wc_tb, V_tb)).astype(dt)
+    tm2 = tm // 2
+    hf = tn // 2
+    return (Y[:tm2, :hf], Y[:tm2, hf:], Y[tm2:, :hf], Y[tm2:, hf:])
+
+
 def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, gl, m=_HN):
     """Shared forward compute: 9 halo refs + weight refs -> the four
     (tm/2, tn/2) quadrant tiles."""
@@ -353,15 +616,36 @@ def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, gl, m=_HN):
             Y[tm2:, :half], Y[tm2:, half:])
 
 
-def _mxu_kernel(*refs, tm, mode, gl, m):
+def _quads_any_body(ins, wr_ref, wc_ref, *, tm, hm, mode, gl, m, body):
+    if body == "v3":
+        return _fw_quads_body_v3(ins, wr_ref, wc_ref, tm=tm, hm=hm,
+                                 mode=mode, gl=gl, m=m)
+    return _fw_quads_body(ins, wr_ref, wc_ref, tm=tm, mode=mode, gl=gl, m=m)
+
+
+def _mxu_kernel(*refs, tm, hm, mode, gl, m, body):
     ins, wr_ref, wc_ref = refs[:9], refs[9], refs[10]
     outs = refs[11:]
-    ll, lh, hl, hh = _fw_quads_body(ins, wr_ref, wc_ref, tm=tm, mode=mode,
-                                    gl=gl, m=m)
+    if body == "v2":
+        def emit(q, c0, val):
+            outs[q][:, c0:c0 + val.shape[1]] = val
+        _fw_body_v2(ins, wr_ref, wc_ref, emit, tm=tm, hm=hm, mode=mode,
+                    gl=gl, m=m)
+        return
+    ll, lh, hl, hh = _quads_any_body(ins, wr_ref, wc_ref, tm=tm, hm=hm,
+                                     mode=mode, gl=gl, m=m, body=body)
     outs[0][:] = ll
     outs[1][:] = lh
     outs[2][:] = hl
     outs[3][:] = hh
+
+
+def _w_col2(wt, tm, hm, dtype):
+    """_w_col with columns reordered to [mid rows (tm) | top (hm) |
+    bottom (hm)] — the K order of the v2 body's stacked row-dot pieces."""
+    W = _w_col(wt, tm, hm, dtype)
+    return jnp.concatenate([W[:, hm:hm + tm], W[:, :hm], W[:, hm + tm:]],
+                           axis=1)
 
 
 def mxu_level_fw_quads(x, wt):
@@ -370,8 +654,9 @@ def mxu_level_fw_quads(x, wt):
     tm, tn, hm = _plan(m, n, wt, x.dtype)
     gl = _row_gl(tn)
     mr = _row_margin(wt)
+    body = _mxu_body_version()
     wr = _w_row(wt, x.dtype, gl, mr)
-    wc = _w_col(wt, tm, hm, x.dtype)
+    wc = (_w_col2 if body in ("v2", "v3") else _w_col)(wt, tm, hm, x.dtype)
     qshape = jax.ShapeDtypeStruct((m // 2, n // 2), x.dtype)
     qspec = pl.BlockSpec((tm // 2, tn // 2), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
@@ -382,7 +667,8 @@ def mxu_level_fw_quads(x, wt):
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
-        partial(_mxu_kernel, tm=tm, mode=_mode_for(x.dtype), gl=gl, m=mr),
+        partial(_mxu_kernel, tm=tm, hm=hm, mode=_mode_for(x.dtype), gl=gl,
+                m=mr, body=body),
         grid=(m // tm, n // tn),
         in_specs=in_specs,
         out_specs=(qspec,) * 4,
@@ -634,7 +920,27 @@ def mxu_packed_ok(m: int, n: int, wt, dtype) -> bool:
     return (m // 2) % (tm // 2) == 0 and (n // 2) % (tn // 2) == 0
 
 
-def _mxu_packed_kernel(*refs, tm, mode, gl, m, has_alias):
+def _fill_quads(ins, wr_ref, wc_ref, ll_ref, stash, *, tm, hm, mode, gl, m,
+                body):
+    """Compute one tile's quadrants into ll_ref + the 3-slot stash."""
+    if body == "v2":
+        def emit(qd, c0, val):
+            if qd == 0:
+                ll_ref[:, c0:c0 + val.shape[1]] = val
+            else:
+                stash[qd - 1, :, c0:c0 + val.shape[1]] = val
+        _fw_body_v2(ins, wr_ref, wc_ref, emit, tm=tm, hm=hm, mode=mode,
+                    gl=gl, m=m)
+        return
+    ll, lh, hl, hh = _quads_any_body(ins, wr_ref, wc_ref, tm=tm, hm=hm,
+                                     mode=mode, gl=gl, m=m, body=body)
+    ll_ref[:] = ll
+    stash[0] = lh
+    stash[1] = hl
+    stash[2] = hh
+
+
+def _mxu_packed_kernel(*refs, tm, hm, mode, gl, m, has_alias, body):
     if has_alias:
         (ins, wr_ref, wc_ref, _yin, ll_ref, y_ref, stash) = (
             refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
@@ -646,12 +952,8 @@ def _mxu_packed_kernel(*refs, tm, mode, gl, m, has_alias):
 
     @pl.when(q == 0)
     def _():
-        ll, lh, hl, hh = _fw_quads_body(ins, wr_ref, wc_ref, tm=tm,
-                                        mode=mode, gl=gl, m=m)
-        ll_ref[:] = ll
-        stash[0] = lh
-        stash[1] = hl
-        stash[2] = hh
+        _fill_quads(ins, wr_ref, wc_ref, ll_ref, stash, tm=tm, hm=hm,
+                    mode=mode, gl=gl, m=m, body=body)
 
     y_ref[:] = stash[q]
 
@@ -669,8 +971,9 @@ def _mxu_packed_call(active, y, yshape, wt):
         return (i + ((q + 1) // 2) * nbr, j + (1 - (q % 2)) * nbc)
 
     mr = _row_margin(wt)
+    body = _mxu_body_version()
     wr = _w_row(wt, active.dtype, gl, mr)
-    wc = _w_col(wt, tm, hm, active.dtype)
+    wc = (_w_col2 if body in ("v2", "v3") else _w_col)(wt, tm, hm, active.dtype)
     in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
         pl.BlockSpec(wr.shape, lambda i, j, q: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -684,8 +987,9 @@ def _mxu_packed_call(active, y, yshape, wt):
         inputs = inputs + [y]
         aliases = {11: 1}
     return pl.pallas_call(
-        partial(_mxu_packed_kernel, tm=tm, mode=_mode_for(active.dtype), gl=gl, m=mr,
-                has_alias=y is not None),
+        partial(_mxu_packed_kernel, tm=tm, hm=hm,
+                mode=_mode_for(active.dtype), gl=gl, m=mr,
+                has_alias=y is not None, body=body),
         grid=(ml // tm, nl // tn, 3),
         in_specs=in_specs,
         out_specs=(
@@ -717,7 +1021,8 @@ def _packed_dma() -> bool:
     return os.environ.get("WAVELETS_TPU_PACKED_DMA") != "0"
 
 
-def _mxu_packed_dma_kernel(*refs, tm, mode, gl, m, has_alias, nbr, nbc):
+def _mxu_packed_dma_kernel(*refs, tm, hm, mode, gl, m, has_alias, nbr, nbc,
+                           body):
     if has_alias:
         (ins, wr_ref, wc_ref, _yin, ll_ref, y_ref, stash, sem) = (
             refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
@@ -726,13 +1031,9 @@ def _mxu_packed_dma_kernel(*refs, tm, mode, gl, m, has_alias, nbr, nbc):
         (ins, wr_ref, wc_ref, ll_ref, y_ref, stash, sem) = (
             refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
             refs[14])
-    ll, lh, hl, hh = _fw_quads_body(ins, wr_ref, wc_ref, tm=tm,
-                                    mode=mode, gl=gl, m=m)
-    ll_ref[:] = ll
-    stash[0] = lh
-    stash[1] = hl
-    stash[2] = hh
-    bm, bn = ll.shape
+    _fill_quads(ins, wr_ref, wc_ref, ll_ref, stash, tm=tm, hm=hm, mode=mode,
+                gl=gl, m=m, body=body)
+    bm, bn = ll_ref.shape
     i = pl.program_id(0)
     j = pl.program_id(1)
     # element offsets of this tile's quadrant blocks in the packed buffer:
@@ -769,8 +1070,9 @@ def _mxu_packed_call_dma(active, y, yshape, wt):
     nbr = ml // tm
     nbc = nl // tn
     mr = _row_margin(wt)
+    body = _mxu_body_version()
     wr = _w_row(wt, active.dtype, gl, mr)
-    wc = _w_col(wt, tm, hm, active.dtype)
+    wc = (_w_col2 if body in ("v2", "v3") else _w_col)(wt, tm, hm, active.dtype)
     in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
         pl.BlockSpec(wr.shape, lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -784,8 +1086,9 @@ def _mxu_packed_call_dma(active, y, yshape, wt):
         inputs = inputs + [y]
         aliases = {11: 1}
     return pl.pallas_call(
-        partial(_mxu_packed_dma_kernel, tm=tm, mode=_mode_for(active.dtype),
-                gl=gl, m=mr, has_alias=y is not None, nbr=nbr, nbc=nbc),
+        partial(_mxu_packed_dma_kernel, tm=tm, hm=hm,
+                mode=_mode_for(active.dtype), gl=gl, m=mr,
+                has_alias=y is not None, nbr=nbr, nbc=nbc, body=body),
         grid=(ml // tm, nl // tn),
         in_specs=in_specs,
         out_specs=(

@@ -80,7 +80,10 @@ def _stage_plan(n: int, wt, L_rem: int, dtype):
     """(C, R, tm, Ls, m) for one multi-level stage on a length-n signal,
     or None.  Every in-kernel width stays a >=128-lane power of two
     (the dot windows' requirement)."""
-    if np.dtype(dtype) != np.dtype(np.float32) or L_rem < 2:
+    # f32 (split dots) and bf16 (native dots): the stage bodies are MXU
+    # dots + sublane rolls only — no lane rotates, so bf16 avoids the
+    # bitcast-roll kernels entirely (same safety argument as mxu2d).
+    if not _mxu_dtype_ok(dtype) or L_rem < 2:
         return None
     lo, hi = _band_reach(wt)
     lo2, hi2 = _syn_reach(wt)

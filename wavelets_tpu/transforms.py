@@ -130,18 +130,31 @@ def _kernel_route_exists(x, wt, L, ndt) -> bool:
             or (ndt == 3 and x.ndim == 3 and _use_pallas_3d(x, wt, L)))
 
 
-def _batch_traced(x) -> bool:
-    """True when ``x`` is being traced by vmap RIGHT NOW (the public
-    wrappers run as plain Python during vmap tracing, so they can see
-    the BatchTracer and route away from the alias-chained packed
-    kernels, which the Pallas TPU lowering cannot batch).  Leading batch
-    dims on a plain array are the preferred — and faster — way to batch;
-    this is a safety net for user vmaps."""
-    try:  # jax.interpreters.batching.BatchTracer is a deprecation STUB
-        from jax._src.interpreters import batching
-        return isinstance(x, batching.BatchTracer)
-    except Exception:  # pragma: no cover
-        return False
+# Incremented whenever a user vmap is rerouted off an alias-chained
+# kernel by _guard_vmap; exists so tests can assert the reroute fired.
+VMAP_REROUTES = 0
+
+
+def _guard_vmap(fast_fn, safe_fn, x):
+    """Run ``fast_fn(x)``, but under ``jax.vmap`` batch ``safe_fn``
+    instead (via the supported ``jax.custom_batching.custom_vmap``
+    mechanism).
+
+    The packed-mode kernels alias-chain a full-size buffer through a
+    ``pl.ANY`` input, which the Pallas TPU lowering cannot batch (a
+    vmap-prepended block dim on an ANY-space aliased input crashed the
+    device — commit 0d090d0).  Leading batch dims on a plain array are
+    the preferred — and faster — way to batch; this guard makes user
+    vmaps correct instead of fatal, without sniffing tracer internals."""
+    guarded = jax.custom_batching.custom_vmap(fast_fn)
+
+    @guarded.def_vmap
+    def _rule(axis_size, in_batched, xs):
+        global VMAP_REROUTES
+        VMAP_REROUTES += 1
+        return jax.vmap(safe_fn)(xs), True
+
+    return guarded(x)
 
 
 def _dwt_impl(x, wt, L, ndt, fw, safe=False):
@@ -166,8 +179,12 @@ def _dwt_impl(x, wt, L, ndt, fw, safe=False):
             from .ops.pallas.filter2d import dwt2_filter, idwt2_filter
             fn = dwt2_filter if fw else idwt2_filter
         if x.ndim == 2:
-            return fn(x, wt, L, packed=False) if (safe and fw) \
-                else fn(x, wt, L)
+            if safe and fw:
+                return fn(x, wt, L, packed=False)
+            if fw:
+                return _guard_vmap(lambda v: fn(v, wt, L),
+                                   lambda v: fn(v, wt, L, packed=False), x)
+            return fn(x, wt, L)
         # batched images: vmap the 2-D kernels over the leading axes.
         # Forward must force quadrant mode — the packed-mode kernels
         # alias-chain the full buffer through a pl.ANY input, which the
@@ -187,7 +204,11 @@ def _dwt_impl(x, wt, L, ndt, fw, safe=False):
         if safe:  # the pyramid's packed stages alias-chain (un-vmappable)
             return dwt1d_wide_nopyr(x, wt, L) if fw \
                 else idwt1d_wide_nopyr(x, wt, L)
-        return dwt1d_wide(x, wt, L) if fw else idwt1d_wide(x, wt, L)
+        if fw:
+            return _guard_vmap(lambda v: dwt1d_wide(v, wt, L),
+                               lambda v: dwt1d_wide_nopyr(v, wt, L), x)
+        return _guard_vmap(lambda v: idwt1d_wide(v, wt, L),
+                           lambda v: idwt1d_wide_nopyr(v, wt, L), x)
     if ndt == 3 and x.ndim == 3 and _use_pallas_3d(x, wt, L):
         from .ops.pallas.dwt3d import dwt3_pallas, idwt3_pallas
         return dwt3_pallas(x, wt, L) if fw else idwt3_pallas(x, wt, L)
@@ -234,7 +255,7 @@ def dwt(x, wt: DiscreteWavelet, L: int | None = None, *,
         L = maxtransformlevels(x.shape[-ndt:])
     _check_levels(x, L, ndt)
     fn = _dwt_jit_donate if donate else _dwt_jit
-    return fn(x, wt, int(L), ndt, True, safe=_batch_traced(x))
+    return fn(x, wt, int(L), ndt, True)
 
 
 def idwt(y, wt: DiscreteWavelet, L: int | None = None, *,
@@ -246,7 +267,7 @@ def idwt(y, wt: DiscreteWavelet, L: int | None = None, *,
         L = maxtransformlevels(y.shape[-ndt:])
     _check_levels(y, L, ndt)
     fn = _dwt_jit_donate if donate else _dwt_jit
-    return fn(y, wt, int(L), ndt, False, safe=_batch_traced(y))
+    return fn(y, wt, int(L), ndt, False)
 
 
 # --- wavelet packets --------------------------------------------------------
