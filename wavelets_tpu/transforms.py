@@ -272,12 +272,38 @@ def idwt(y, wt: DiscreteWavelet, L: int | None = None, *,
 
 # --- wavelet packets --------------------------------------------------------
 
-def _tree_tuple(tree) -> tuple:
-    return tuple(bool(b) for b in np.asarray(tree, dtype=bool))
+class _TreeKey:
+    """Hashable static-argument wrapper for a WPT tree.
+
+    Trees are sized 2^maxtransformlevels(n)-1 (a ~1M-entry bool heap at
+    n=2^20), and jit hashes static args on EVERY call — a Python tuple
+    of that size cost ~115 ms per public wpt() call (measured; the
+    device work itself is ~6 ms).  Packing to bytes makes the hash a
+    one-shot memcmp-sized operation."""
+
+    __slots__ = ("n", "data", "_hash")
+
+    def __init__(self, tree):
+        t = np.asarray(tree, dtype=bool)
+        self.n = t.size
+        self.data = np.packbits(t).tobytes()
+        self._hash = hash((self.n, self.data))
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        return (isinstance(other, _TreeKey) and self.n == other.n
+                and self.data == other.data)
+
+    def array(self) -> np.ndarray:
+        return np.unpackbits(
+            np.frombuffer(self.data, np.uint8), count=self.n).astype(bool)
 
 
 def _wpt_impl(x, wt, tree, fw):
-    t = np.asarray(tree, dtype=bool)
+    t = tree.array() if isinstance(tree, _TreeKey) else \
+        np.asarray(tree, dtype=bool)
     return wpt_ops.wpt(x, wt, t) if fw else wpt_ops.iwpt(x, wt, t)
 
 
@@ -286,14 +312,24 @@ _wpt_jit_donate = partial(jax.jit, static_argnames=("wt", "tree", "fw"),
                           donate_argnums=0)(_wpt_impl)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _full_tree_key(n: int, L: int) -> "_TreeKey":
+    return _TreeKey(maketree(n, L, "full"))
+
+
 def _wpt_common(x, wt, tree, L, fw, donate=False):
     x = _as_float(x)
     n = x.shape[-1]
     if tree is None:
         L = maxtransformlevels(n) if L is None else int(L)
-        tree = maketree(n, L, "full")
+        key = _full_tree_key(n, L)
+    else:
+        key = _TreeKey(tree)
     fn = _wpt_jit_donate if donate else _wpt_jit
-    return fn(x, wt, _tree_tuple(tree), fw)
+    return fn(x, wt, key, fw)
 
 
 def wpt(x, wt: DiscreteWavelet, tree=None, L: int | None = None, *,
