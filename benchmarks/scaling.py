@@ -29,7 +29,18 @@ def main():
     ap.add_argument("--cols", type=int, default=2048)
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--json", type=str, default=None,
+                    help="also write the per-mesh-size records to a file")
+    ap.add_argument("--fixed-global", action="store_true",
+                    help="keep the GLOBAL size fixed while growing the "
+                         "mesh.  On the virtual CPU mesh (devices share "
+                         "the same cores) this is the honest structure "
+                         "metric: total work is constant, so any wall-"
+                         "time growth is sharding/collective overhead — "
+                         "whereas weak scaling there necessarily "
+                         "collapses with core oversubscription.")
     args = ap.parse_args()
+    records = []
 
     import jax
     import jax.numpy as jnp
@@ -47,9 +58,11 @@ def main():
     print(f"devices available: {ndev_all}  "
           f"({jax.devices()[0].platform})")
     nd = 1
+    base_dt = None
     while nd <= ndev_all:
         mesh = parallel.make_mesh(nd)
-        m = args.rows_per_device * nd
+        m = (args.rows_per_device if args.fixed_global
+             else args.rows_per_device * nd)
         x = rng.standard_normal((m, args.cols)).astype(np.float32)
         xs = parallel.shard_rows(x, mesh)
 
@@ -64,11 +77,27 @@ def main():
         per_dev = tput / nd
         if base_tput is None:
             base_tput = per_dev
-        eff = per_dev / base_tput
+            base_dt = dt
+        eff = (base_dt / dt) if args.fixed_global else per_dev / base_tput
+        kind = "fixed-global-eff" if args.fixed_global else "weak-eff"
         print(f"n_devices={nd:2d}  global={m}x{args.cols}  "
               f"{dt*1e3:8.2f} ms  {tput:7.2f} Gs/s  "
-              f"per-dev {per_dev:6.2f}  weak-eff {eff*100:5.1f}%")
+              f"per-dev {per_dev:6.2f}  {kind} {eff*100:5.1f}%")
+        records.append({"n_devices": nd, "rows": m, "cols": args.cols,
+                        "levels": args.levels, "ms": round(dt * 1e3, 3),
+                        "gsps": round(tput, 3),
+                        "per_device_gsps": round(per_dev, 3),
+                        ("fixed_global_efficiency" if args.fixed_global
+                         else "weak_efficiency"): round(eff, 4)})
         nd *= 2
+
+    if args.json:
+        import json
+        payload = {"platform": jax.devices()[0].platform,
+                   "virtual_mesh": jax.devices()[0].platform == "cpu",
+                   "records": records}
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
