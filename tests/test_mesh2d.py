@@ -56,3 +56,50 @@ def test_mesh2d_nonperiodic_boundaries(mesh, boundary):
     assert np.allclose(np.asarray(ys), ref, atol=1e-11), boundary
     xr = mesh2d.idwt2(ys, wt, 2, mesh)
     assert np.allclose(np.asarray(xr), x, atol=1e-11), boundary
+
+@pytest.mark.parametrize("wname,kind", [
+    ("db2", "filter"), ("cdf97", "lifting"),
+])
+def test_grid_3d_matches_single(mesh, wname, kind):
+    """3-D volumes sharded P(x, y, None): planes/rows/cols order must
+    match the single-device packed layout exactly."""
+    rng = np.random.default_rng(68)
+    x = rng.standard_normal((32, 16, 16))
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    L = 2
+    ref = np.asarray(w.dwt(x, wt, L))
+    xs = mesh2d.shard_grid3(x, mesh)
+    ys = mesh2d.dwt3(xs, wt, L, mesh)
+    assert np.allclose(np.asarray(ys), ref, atol=1e-11), wname
+    xr = mesh2d.idwt3(ys, wt, L, mesh)
+    assert np.allclose(np.asarray(xr), x, atol=1e-11), wname
+
+
+def test_grid_3d_deep_fallback_and_boundary(mesh):
+    rng = np.random.default_rng(69)
+    x = rng.standard_normal((32, 32, 8))
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting", "zeropad")
+    ref = np.asarray(w.dwt(x, wt, 3))   # level 3 falls below _can_shard
+    ys = mesh2d.dwt3(mesh2d.shard_grid3(x, mesh), wt, 3, mesh)
+    assert np.allclose(np.asarray(ys), ref, atol=1e-11)
+    assert np.allclose(
+        np.asarray(mesh2d.idwt3(ys, wt, 3, mesh)), x, atol=1e-11)
+
+
+def test_grid_apps_denoise_noisest(mesh):
+    """The app layer runs on the 2-axis mesh: distributed noisest and
+    denoise must match the single-device results."""
+    from wavelets_tpu import parallel
+    rng = np.random.default_rng(70)
+    wt = w.wt.wavelet(w.wt.db2)
+    base = w.testfunction(64, "HeaviSine")
+    img = np.add.outer(base, base) + 0.1 * rng.standard_normal((64, 64))
+
+    sref = float(w.noisest(img, wt))
+    xs = mesh2d.shard_grid(img, mesh)
+    sgot = float(parallel.noisest(xs, wt, mesh=mesh))
+    assert abs(sref - sgot) < 1e-9 * max(1.0, abs(sref))
+
+    dref = np.asarray(w.denoise(img, wt, L=3))
+    dgot = np.asarray(parallel.denoise(xs, wt, L=3, mesh=mesh))
+    assert np.abs(dref - dgot).max() < 1e-9

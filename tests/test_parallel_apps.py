@@ -117,3 +117,20 @@ def test_sharded_wpt_partial_tree():
     ref = np.asarray(w.wpt(jnp.asarray(x), wt, tree))
     got = np.asarray(parallel.wpt(jnp.asarray(x), wt, tree, mesh=mesh))
     assert np.abs(ref - got).max() < 1e-10
+
+
+@pytest.mark.parametrize("boundary", ["zeropad", "symmetric"])
+def test_sharded_wpt_nonperiodic(boundary):
+    """Sharded WPT with non-periodic lifting boundaries: the per-segment
+    extension applies along the segment axis, which GSPMD shards like any
+    other op — must match the single-device wpt exactly."""
+    mesh = _mesh()
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting", boundary)
+    rng = np.random.default_rng(99)
+    x = rng.standard_normal(256)
+    tree = w.maketree(256, 4, "full")
+    ref = np.asarray(w.wpt(jnp.asarray(x), wt, tree))
+    got = np.asarray(parallel.wpt(jnp.asarray(x), wt, tree, mesh=mesh))
+    assert np.abs(ref - got).max() < 1e-10, boundary
+    xr = np.asarray(parallel.iwpt(jnp.asarray(got), wt, tree, mesh=mesh))
+    assert np.abs(xr - x).max() < 1e-10, boundary

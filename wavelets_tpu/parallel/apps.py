@@ -57,6 +57,21 @@ __all__ = ["bestbasistree", "noisest", "denoise", "wpt", "iwpt",
            "modwt", "imodwt"]
 
 
+def _mesh_dwt(v, wt, L: int, mesh: Mesh, axis_name: str, fw: bool):
+    """Route a sharded multi-level DWT by mesh rank: 1-axis meshes take
+    the ring drivers (sharded.py); 2-axis meshes the grid drivers
+    (mesh2d.py) — so the app layer (noisest/denoise) runs unchanged on
+    P('x','y') grids."""
+    if len(mesh.axis_names) == 2:
+        from . import mesh2d
+        if v.ndim == 2:
+            return mesh2d._dwt2_grid_jit(v, wt, int(L), mesh, fw)
+        if v.ndim == 3:
+            return mesh2d._dwt3_grid_jit(v, wt, int(L), mesh, fw)
+        raise ValueError("2-axis meshes shard rank-2/3 arrays")
+    return sharded._dwt_sharded_jit(v, wt, int(L), mesh, axis_name, fw)
+
+
 def _seg_entropies(x, et: Entropy, nrm, nseg: int, mesh: Mesh,
                    axis: str):
     """Per-segment entropy sums of a sharded 1-D signal: local partial
@@ -155,7 +170,7 @@ def noisest(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, L: int = 1,
     if wt is None:
         y = x
     else:
-        y = sharded._dwt_sharded_jit(x, wt, int(L), mesh, axis_name, True)
+        y = _mesh_dwt(x, wt, int(L), mesh, axis_name, True)
     m = y.shape[0]
     dr = y[m >> L: m >> (L - 1)].reshape(-1)
     med = jnp.median(dr)
@@ -185,9 +200,9 @@ def denoise(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, *,
         return _threshold(x, dnt.th, t)
 
     def pipe(v):
-        y = sharded._dwt_sharded_jit(v, wt, int(L), mesh, axis_name, True)
+        y = _mesh_dwt(v, wt, int(L), mesh, axis_name, True)
         y = _threshold(y, dnt.th, t)
-        return sharded._dwt_sharded_jit(y, wt, int(L), mesh, axis_name, False)
+        return _mesh_dwt(y, wt, int(L), mesh, axis_name, False)
 
     if not TI:
         return pipe(x)
@@ -212,7 +227,12 @@ def denoise(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, *,
 # --- sharded wavelet packets -------------------------------------------------
 
 def _wpt_sharded(x, wt, tree, mesh: Mesh, axis_name: str, fw: bool):
-    sharded._require_periodic(wt)
+    # lifting boundaries (periodic/zeropad/symmetric) apply PER
+    # SEGMENT along the last axis of the (nseg, nj) view, and the
+    # GSPMD formulation shards whatever _level_jnp traces — edge
+    # fixup writes included — so non-periodic needs no extra
+    # mechanics here (filter engine stays periodic, as everywhere)
+    sharded._check_boundary(wt)
     n = x.shape[-1]
     nd = mesh.shape[axis_name]
     tree = np.asarray(tree, dtype=bool)
