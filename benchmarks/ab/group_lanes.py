@@ -16,13 +16,9 @@ def bar(y):
     return float(jnp.sum(y[:1, :1]))
 
 def bench(fn, x, iters=12):
-    y = fn(x); bar(y)
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(iters):
-        y = fn(y)
-    bar(y)
-    return (time.perf_counter() - t0) / iters
+    # single shared chained-barrier implementation
+    from wavelets_tpu.profiling import time_fn
+    return time_fn(fn, x, iters)
 
 def variant(gl, inv=False, L=8):
     os.environ["WAVELETS_TPU_MXU_GL"] = str(gl)

@@ -10,12 +10,9 @@ rng = np.random.default_rng(0)
 x8 = jax.device_put(rng.standard_normal((8192, 8192)).astype(np.float32))
 def bar(y): return float(jnp.sum(y[:1, :1]))
 def bench(fn, x, iters=12):
-    y = fn(x); bar(y)
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(iters): y = fn(y)
-    bar(y)
-    return (time.perf_counter() - t0) / iters
+    # single shared chained-barrier implementation
+    from wavelets_tpu.profiling import time_fn
+    return time_fn(fn, x, iters)
 xs = jax.device_put(rng.standard_normal((1024, 1024)).astype(np.float32))
 ref = {}
 for tm in ("128", "256"):

@@ -16,13 +16,9 @@ def bar(y):
     return float(jnp.sum(y[:1]))
 
 def bench(fn, iters=10):
-    y = fn(x); bar(y)
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(iters):
-        y = fn(y)
-    bar(y)
-    return (time.perf_counter() - t0) / iters
+    # single shared chained-barrier implementation
+    from wavelets_tpu.profiling import time_fn
+    return time_fn(fn, x, iters)
 
 prev = 0.0
 for L in range(1, 11):

@@ -143,15 +143,16 @@ def test_filter_engine_rejects_nonperiodic():
 def test_sharded_boundary_support_matrix():
     """The 1-axis AND 2-axis sharded DWT drivers accept lifting
     zeropad/symmetric (tests/test_sharded.py and test_mesh2d.py check
-    the values); the periodic-only surfaces — sharded WPT/MODWT — keep
-    rejecting."""
+    the values), and since round 3 sharded WPT does too
+    (test_parallel_apps.py checks its values); the filter engine stays
+    periodic-only everywhere (constructor-level, like the reference)."""
     from wavelets_tpu import parallel
     wt = wavelet(cdf97, "lifting", ZEROPAD)
     x = jnp.zeros((32, 32))
     y = parallel.dwt2(x, wt, 2)            # supported since late round 2
     assert y.shape == x.shape
-    with pytest.raises(NotImplementedError):
-        parallel.wpt(jnp.zeros(64), wt, np.ones(63, bool))
+    yw = parallel.wpt(jnp.zeros(64), wt, np.ones(63, bool))
+    assert yw.shape == (64,)               # supported since round 3
     import jax
     if len(jax.devices()) >= 4:
         from wavelets_tpu.parallel import mesh2d

@@ -111,8 +111,8 @@ def test_mxu_plan_gating():
 
 
 @pytest.mark.parametrize("wname,kind", [
-    ("cdf97", "lifting"), ("haar", "lifting"), ("db2", "lifting"),
-    ("db2", "filter"), ("db4", "filter"), ("sym6", "filter"),
+    ("cdf97", "lifting"), ("haar", "lifting"),
+    ("db4", "filter"), ("sym6", "filter"),
 ])
 def test_mxu_inverse_roundtrip(wname, kind):
     """MXU forward -> MXU inverse (quads AND packed-read variants)

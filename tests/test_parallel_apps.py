@@ -12,9 +12,11 @@ from wavelets_tpu import parallel
 
 
 def _mesh():
+    # 4-device ring: same cross-shard logic as 8 at roughly half the
+    # CPU shard_map compile cost (the dryrun covers the 8-device mesh)
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    return parallel.make_mesh(8)
+    return parallel.make_mesh(4)
 
 
 @pytest.mark.parametrize("wname,kind", [("db2", "filter"),
@@ -80,14 +82,13 @@ def test_sharded_modwt_roundtrip_and_match():
     """Sharded MODWT: ppermute halos while they fit one neighbor, all-
     gather for the deep levels whose dilated halo spans devices.
 
-    512 samples over 8 devices = 64/shard; db4's dilated halo
+    256 samples over the 4-device ring = 64/shard; db4's dilated halo
     2^(j-1)*7 exceeds 64 from level 5, so L=5 covers BOTH the ppermute
-    and the all-gather paths (levels 1-4 vs 5) at ~1/3 the compile cost
-    of the old 1024/L8 shape."""
+    and the all-gather paths (levels 1-4 vs 5)."""
     mesh = _mesh()
     wt = w.wt.wavelet(w.wt.db4)
     rng = np.random.default_rng(96)
-    x = rng.standard_normal(512)
+    x = rng.standard_normal(256)
     ref = np.asarray(w.modwt(jnp.asarray(x), wt, 5))
     got = np.asarray(parallel.modwt(jnp.asarray(x), wt, 5, mesh=mesh))
     assert np.abs(ref - got).max() < 1e-10

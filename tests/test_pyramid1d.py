@@ -19,15 +19,19 @@ def _wt(wname, kind):
     return w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
 
 
-@pytest.mark.parametrize("wname,kind", [
-    ("cdf97", "lifting"), ("db2", "filter"), ("haar", "lifting"),
-    ("sym6", "filter"),
-])
-@pytest.mark.parametrize("n,L", [
-    (1 << 16, 4),        # two full stages
-    (1 << 15, 6),        # stage + per-level/jnp tail
-    (1 << 14, 8),        # deep: stage down to the jnp tail
-    (3 * (1 << 13), 3),  # non-power-of-two length, odd level count
+@pytest.mark.parametrize("wname,kind,n,L", [
+    # shape sweep with the two flagship wavelets ...
+    ("cdf97", "lifting", 1 << 16, 4),   # two full stages
+    ("db2", "filter", 1 << 16, 4),
+    ("cdf97", "lifting", 1 << 15, 6),   # stage + per-level/jnp tail
+    ("db2", "filter", 1 << 15, 6),
+    ("cdf97", "lifting", 1 << 14, 8),   # deep: stage down to the jnp tail
+    ("db2", "filter", 1 << 14, 8),
+    # ... and the wavelet sweep on the cheapest shape (incl. non-pow2 n)
+    ("haar", "lifting", 3 * (1 << 13), 3),
+    ("sym6", "filter", 3 * (1 << 13), 3),
+    ("cdf97", "lifting", 3 * (1 << 13), 3),
+    ("db2", "filter", 3 * (1 << 13), 3),
 ])
 def test_pyramid_fw_inv_vs_f64(wname, kind, n, L):
     wt = _wt(wname, kind)
@@ -129,3 +133,26 @@ def test_user_vmap_routes_alias_free(monkeypatch):
         ref = np.asarray(w.dwt(jnp.asarray(x[0]), wt, L))
     assert T.VMAP_REROUTES > before   # the custom_vmap rule fired
     assert np.abs(y[0] - ref).max() < 2e-4
+
+
+def test_pyramid_bf16(monkeypatch):
+    """bfloat16 single wide signals ride the pyramid stages (native MXU
+    dots, no lane rotates); the per-level wide FOLD stays f32-only (its
+    lane-roll/butterfly kernels crash this toolchain at bf16 — the
+    documented negative result), so wide_ok must route bf16 via pyr_ok."""
+    from wavelets_tpu.ops.pallas import wide1d as W1
+    wt = _wt("cdf97", "lifting")
+    n, L = 1 << 15, 6
+    assert W1._fold(n, wt, jnp.bfloat16) is None          # fold: f32 only
+    assert PY.plan_stages(n, wt, L, jnp.bfloat16)         # pyramid: ok
+    assert W1.wide_ok(n, wt, L, jnp.bfloat16)             # routed via pyr
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal(n).astype(jnp.bfloat16)
+    ref = np.asarray(w.dwt(np.asarray(x, np.float64), wt, L))
+    scale = np.abs(ref).max()
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(PY.dwt1d_pyramid(jnp.asarray(x), wt, L), np.float64)
+        xr = np.asarray(PY.idwt1d_pyramid(jnp.asarray(y, jnp.bfloat16),
+                                          wt, L), np.float64)
+    assert np.abs(y - ref).max() < 0.08 * scale
+    assert np.abs(xr - np.asarray(x, np.float64)).max() < 0.08 * scale

@@ -1,13 +1,19 @@
 """MXU (systolic-array) formulation of one fused 2-D DWT level.
 
 Round-2 measurements on v5e (BENCHMARKS.md) showed the fused VPU level
-kernel (fused2d.py) is compute-bound, not bandwidth-bound: on this
-toolchain Mosaic never overlaps grid-step DMA with compute (time =
-DMA + VPU, additive — verified with a K-sweep of an FMA chain and with
-a manual double-buffered make_async_copy pipeline, both exactly
-additive), and Mosaic's VPU elementwise throughput is ~3-4x below
-XLA's on the same chip.  The measured in-kernel f32 matmul rate,
-however, is ~160 TFLOP/s — two orders of magnitude above the VPU rate.
+kernel (fused2d.py) is compute-bound, not bandwidth-bound; Mosaic's VPU
+elementwise throughput is ~3-4x below XLA's on the same chip, while the
+measured in-kernel matmul rate is ~160 TFLOP/s (f32 split) — two orders
+of magnitude above the VPU rate.
+
+Round-3 correction to the round-2 overlap model: Mosaic's automatic
+grid pipeline DOES overlap block DMA with MXU dots (time = max(DMA,
+compute), verified in isolation by benchmarks/ab/overlap_probe.py — the
+round-2 "exactly additive" readings were VPU-chain-specific).  For this
+kernel the f32 residual above the DMA floor is exactly the two extra
+bf16-split dot passes (the MXU is busy; dots cannot hide under dots),
+and the bf16-storage residual is compute glue vs a HALVED floor — see
+BENCHMARKS.md round-3 for the level-1 decomposition.
 
 So this module expresses the whole separable level as two banded
 matmuls on the MXU:
@@ -320,21 +326,26 @@ def _row_gl(tn: int) -> int:
     return gl
 
 
-def _row_margin(wt) -> int:
+def _row_margin(wt, fw: bool = True) -> int:
     """Lane margin of the shared row windows.
 
     The band reach is tiny (<= ~24 lanes for every stock wavelet), so a
-    32-granule margin instead of the full 128-lane halo granule cuts the
-    row-dot K from 512 to 320 per 256 outputs (37% fewer row FLOPs);
-    the windows land on 32-aligned ext offsets.  WAVELETS_TPU_MXU_MARGIN
-    overrides (e.g. =128 restores the halo-granule windows)."""
+    narrow margin instead of the full 128-lane halo granule cuts the
+    row-dot K sharply.  Round-3 retune at the tn=4096 default tiles:
+    the FORWARD wins at a 16-lane granule (16k² L8 cdf97 f32 9.07 ->
+    8.49 ms, bf16 6.36 -> 5.74 — sol 1.02/1.08 at 332-348 GB/s
+    sessions) while the INVERSE loses there (9.65 -> 10.67; its
+    [s-window | d-window] lane handling pays for sub-32 alignment), so
+    the granule is direction-dependent: 16 forward, 32 inverse.
+    WAVELETS_TPU_MXU_MARGIN overrides both (=128 restores halo-granule
+    windows)."""
     import os
     ov = os.environ.get("WAVELETS_TPU_MXU_MARGIN")
     if ov:
         return int(ov)
     lo, hi = _band_reach(wt)
     lo2, hi2 = _syn_reach(wt)
-    return min(128, roundup(max(lo, hi, lo2, hi2, 1), 32))
+    return min(128, roundup(max(lo, hi, lo2, hi2, 1), 16 if fw else 32))
 
 
 def _mxu_body_version() -> str:
@@ -867,7 +878,7 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
         inputs += [src] * 9
     dt = srcs[0].dtype
     gl = _row_gl(tn)
-    mr = _row_margin(wt)
+    mr = _row_margin(wt, fw=False)
     wr = _w_row_inv(wt, dt, gl, mr)
     wc = _w_col_inv(wt, tm, hm2, dt)
     in_specs += [
