@@ -22,3 +22,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+# Persistent XLA compile cache: the suite is compile-dominated (CPU f64
+# jits + shard_map programs), so reruns drop sharply.  Harmless if the
+# cache dir is cold or the backend skips it.
+try:
+    os.makedirs("/tmp/wavelets_tpu_test_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/wavelets_tpu_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass

@@ -221,8 +221,10 @@ def test_pallas_bf16_filter(monkeypatch):
     assert np.abs(y - jref).max() < 0.05  # taps cast differs; bf16-scale
 
 
-@pytest.mark.parametrize("wname,kind", [("db2", "filter"),
-                                        ("cdf97", "lifting")])
+@pytest.mark.parametrize("wname,kind", [
+    ("db2", "filter"),
+    pytest.param("cdf97", "lifting", marks=pytest.mark.slow),
+])   # the fused VPU inverse is opt-in (gated off by default on device)
 def test_pallas_fused_inverse_1024(wname, kind):
     """Single-pass fused inverse (36-ref packed-read windows) round-trips
     at a size its tile plan accepts (needs >= 3 lane-halo granules)."""

@@ -19,8 +19,10 @@ def _mesh():
     return parallel.make_mesh(4)
 
 
-@pytest.mark.parametrize("wname,kind", [("db2", "filter"),
-                                        ("cdf97", "lifting")])
+@pytest.mark.parametrize("wname,kind", [
+    ("db2", "filter"),
+    pytest.param("cdf97", "lifting", marks=pytest.mark.slow),
+])
 def test_bestbasistree_matches_single_device(wname, kind):
     mesh = _mesh()
     wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
@@ -37,7 +39,7 @@ def test_bestbasistree_limited_depth_tree():
     mesh = _mesh()
     wt = w.wt.wavelet(w.wt.db2)
     rng = np.random.default_rng(92)
-    x = rng.standard_normal(128)
+    x = rng.standard_normal(64)
     ref = w.bestbasistree(jnp.asarray(x), wt, L=3)
     got = parallel.bestbasistree(jnp.asarray(x), wt, L=3, mesh=mesh)
     assert np.array_equal(ref, got)
@@ -78,7 +80,8 @@ def test_denoise_TI_sharded_runs():
     assert out.shape == img.shape and np.isfinite(out).all()
 
 
-def test_sharded_modwt_roundtrip_and_match():
+@pytest.mark.slow   # ~2 min of shard_map compiles; the driver dryrun
+def test_sharded_modwt_roundtrip_and_match():   # re-runs this per round
     """Sharded MODWT: ppermute halos while they fit one neighbor, all-
     gather for the deep levels whose dilated halo spans devices.
 

@@ -77,7 +77,7 @@ def test_pyramid_matches_perlevel_wide():
 @pytest.mark.parametrize("wname,kind", [
     ("cdf97", "lifting"), ("db2", "filter"),
 ])
-@pytest.mark.parametrize("B,n,L", [(2, 1 << 15, 4), (3, 1 << 15, 8)])
+@pytest.mark.parametrize("B,n,L", [(2, 1 << 14, 4), (3, 1 << 14, 8)])
 def test_pyramid_batched_vs_f64(wname, kind, B, n, L):
     """(B, n) batches: segment-local rings + per-signal packed regions."""
     wt = _wt(wname, kind)
@@ -142,7 +142,7 @@ def test_pyramid_bf16(monkeypatch):
     documented negative result), so wide_ok must route bf16 via pyr_ok."""
     from wavelets_tpu.ops.pallas import wide1d as W1
     wt = _wt("cdf97", "lifting")
-    n, L = 1 << 15, 6
+    n, L = 1 << 14, 4
     assert W1._fold(n, wt, jnp.bfloat16) is None          # fold: f32 only
     assert PY.plan_stages(n, wt, L, jnp.bfloat16)         # pyramid: ok
     assert W1.wide_ok(n, wt, L, jnp.bfloat16)             # routed via pyr
