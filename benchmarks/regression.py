@@ -18,6 +18,8 @@ import json
 import sys
 import time
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])   # repo root
+
 
 def _grid(platform: str):
     """(name, builder) pairs; sizes scale down on CPU runners."""

@@ -30,6 +30,6 @@ try:
     os.makedirs("/tmp/wavelets_tpu_test_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/wavelets_tpu_test_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 except Exception:
     pass
