@@ -82,8 +82,14 @@ def _stage_plan(n: int, wt, L_rem: int, dtype):
     (the dot windows' requirement)."""
     # f32 (split dots) and bf16 (native dots): the stage bodies are MXU
     # dots + sublane rolls only — no lane rotates, so bf16 avoids the
-    # bitcast-roll kernels entirely (same safety argument as mxu2d).
+    # crash-prone bitcast-roll kernels.  bf16 device-validated round 3:
+    # compiles and round-trips at 2^18/L4 and 2^22/L8 on the v5e with no
+    # wedge (WAVELETS_TPU_PYR_BF16=0 disables if a future toolchain
+    # regresses).
     if not _mxu_dtype_ok(dtype) or L_rem < 2:
+        return None
+    if (np.dtype(dtype) == np.dtype(jnp.bfloat16)
+            and os.environ.get("WAVELETS_TPU_PYR_BF16") == "0"):
         return None
     lo, hi = _band_reach(wt)
     lo2, hi2 = _syn_reach(wt)
