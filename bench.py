@@ -76,6 +76,14 @@ def main():
     def step(v):
         return _dwt_jit(v, wt, levels, 2, True)
 
+    # NOTE on chaining: a lax.fori_loop in-graph chain was tried to make
+    # the timing dispatch-insensitive, but it measured ~3 ms/iter SLOWER
+    # — the loop-carried value defeats the packed kernels' buffer alias
+    # chain (XLA copies the carry per iteration).  Host-loop chaining
+    # with one trailing barrier stays the methodology; run bench.py
+    # without competing CPU load (each chained dispatch costs a tunnel
+    # RTT that contention inflates).
+
     # On the tunneled "axon" platform block_until_ready returns before the
     # compute finishes, so use a scalar fetch as the completion barrier: the
     # device must finish the whole dependency chain to produce the sum, and

@@ -193,13 +193,13 @@ def _plan(m: int, n: int, wt, dtype):
     if tn is None or n % _HN or n // _HN < 2:
         return None
     # taller tiles amortize the col-dot halo rows and grid overhead but
-    # grow the VMEM live set — 128 is the validated f32 default (tm=256
-    # measured a wash at 8192² and worse at 16384²), while bf16 defaults
-    # to 256 (half the bytes per tile; measured ~9% faster at 16384² L8
-    # in an interleaved A/B).  WAVELETS_TPU_MXU_TM overrides both.
+    # grow the VMEM live set — 128 is the validated default for BOTH
+    # dtypes at the tn=4096 tiles (the old bf16 tm=256 preference was a
+    # tn=2048 measurement; at tn=4096 interleaved A/Bs read tm=128
+    # equal-or-faster: 6.90 vs 7.07 ms congested, 5.42 vs 5.80 at a
+    # faster window).  WAVELETS_TPU_MXU_TM overrides.
     import os
-    tm_default = "256" if np.dtype(dtype) == np.dtype(jnp.bfloat16) else "128"
-    tm = int(os.environ.get("WAVELETS_TPU_MXU_TM", tm_default))
+    tm = int(os.environ.get("WAVELETS_TPU_MXU_TM", "128"))
     while tm >= 2 * hm:
         if m % tm == 0 and tm % hm == 0:
             break
