@@ -84,26 +84,17 @@ def main():
     # without competing CPU load (each chained dispatch costs a tunnel
     # RTT that contention inflates).
 
-    # On the tunneled "axon" platform block_until_ready returns before the
-    # compute finishes, so use a scalar fetch as the completion barrier: the
-    # device must finish the whole dependency chain to produce the sum, and
-    # transferring one float costs only the tunnel RTT.
+    # On the tunneled "axon" platform block_until_ready returns before
+    # the compute finishes; profiling.time_fn (below) uses a scalar-fetch
+    # barrier instead.
     import jax.numpy as jnp
 
-    def barrier(v):
-        return float(jnp.sum(v[:1, :1]))
-
-    # compile + warmup
-    y = step(x)
-    barrier(y)
+    # the one shared chained-barrier timing implementation (same-shape
+    # outputs chain; one scalar barrier at the end)
+    from wavelets_tpu.profiling import time_fn
 
     iters = 20 if platform != "cpu" else 3
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(iters):
-        y = step(y)  # chained: each step depends on the previous
-    barrier(y)
-    dt = (time.perf_counter() - t0) / iters
+    dt = time_fn(step, x, iters)
 
     # In-session roofline calibration: the tunneled chip's streaming
     # bandwidth varies BY SESSION (shared tenancy; 210-400 GB/s observed),
@@ -111,13 +102,7 @@ def main():
     # speed-of-light.  SOL for the fused single-pass pyramid = read x +
     # write y once per level, geometric over levels (4/3).
     copy = jax.jit(lambda v: v + 1.0)
-    barrier(copy(x))
-    t0 = time.perf_counter()
-    v = x
-    for _ in range(iters):
-        v = copy(v)
-    barrier(v)
-    dt_copy = (time.perf_counter() - t0) / iters
+    dt_copy = time_fn(copy, x, iters)
     bw = 2 * x.size * np.dtype(dtype).itemsize / dt_copy / 1e9
     sol = (2 * x.size * np.dtype(dtype).itemsize * (4 / 3)) / (bw * 1e9)
 
@@ -142,22 +127,9 @@ def main():
     if platform != "cpu":
         try:
             xb = x.astype(jnp.bfloat16)
-            barrier(copy(xb))
-            t0 = time.perf_counter()
-            v = xb
-            for _ in range(iters):
-                v = copy(v)
-            barrier(v)
-            dt_copy_b = (time.perf_counter() - t0) / iters
+            dt_copy_b = time_fn(copy, xb, iters)
             bw_b = 2 * xb.size * 2 / dt_copy_b / 1e9
-            yb = step(xb)
-            barrier(yb)
-            t0 = time.perf_counter()
-            yb = xb
-            for _ in range(iters):
-                yb = step(yb)
-            barrier(yb)
-            dtb = (time.perf_counter() - t0) / iters
+            dtb = time_fn(step, xb, iters)
             solb = (2 * x.size * 2 * (4 / 3)) / (bw_b * 1e9)
             out["bf16_gsps"] = round(size * size / dtb / 1e9, 4)
             out["bf16_copy_bw_gbps"] = round(bw_b, 1)

@@ -68,7 +68,7 @@ def main():
           f" ms; bf16 floor {floor1_f32/2*1e3:.2f} ms")
 
     # grid-step cost: copy kernels, 1 vs 9 refs, tm 128 vs 256
-    for nrefs in ():
+    for nrefs in (1, 9):
         for tm in (128, 256):
             try:
                 f = jax.jit(partial(halo_copy_kernel, tm=tm, tn=2048,

@@ -103,3 +103,17 @@ def test_grid_apps_denoise_noisest(mesh):
     dref = np.asarray(w.denoise(img, wt, L=3))
     dgot = np.asarray(parallel.denoise(xs, wt, L=3, mesh=mesh))
     assert np.abs(dref - dgot).max() < 1e-9
+
+
+def test_grid_apps_accept_1d_signals(mesh):
+    """Rank-1 inputs on a 2-axis mesh fall back to the ring driver over
+    the first mesh axis (regression: the grid dispatch raised on them)."""
+    import jax.numpy as jnp
+    from wavelets_tpu import parallel
+    rng = np.random.default_rng(71)
+    x = rng.standard_normal(256)
+    wt = w.wt.wavelet(w.wt.db2)
+    got = np.asarray(parallel.apps._mesh_dwt(
+        jnp.asarray(x), wt, 3, mesh, "x", True))
+    ref = np.asarray(w.dwt(x, wt, 3))
+    assert np.abs(got - ref).max() < 1e-11

@@ -375,3 +375,32 @@ def test_mxu_bf16_3d():
                         np.float64)
     assert np.abs(y - ref).max() < 0.08 * scale
     assert np.abs(xr - np.asarray(x, np.float64)).max() < 0.08 * scale
+
+
+@pytest.mark.parametrize("body", ["v2", "v3"])
+def test_mxu_alt_bodies_match_v1(monkeypatch, body):
+    """The alternative forward compute bodies (kept as measured negative
+    results behind WAVELETS_TPU_MXU_BODY) must stay numerically
+    equivalent to v1 so future edits to the shared plan/weight code
+    cannot silently corrupt the env-reachable paths."""
+    rng = np.random.default_rng(77)
+    x = rng.standard_normal((256, 512)).astype(np.float32)
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    outs = {}
+    for b in ("v1", body):
+        monkeypatch.setenv("WAVELETS_TPU_MXU_BODY", b)
+        with pltpu.force_tpu_interpret_mode():
+            q = [np.asarray(a) for a in
+                 M.mxu_level_fw_quads(jnp.asarray(x), wt)]
+            ll, y = M.mxu_level_fw_packed_first(jnp.asarray(x), wt)
+        outs[b] = (q, np.asarray(ll), np.asarray(y))
+    qd = max(np.abs(a - b_).max()
+             for a, b_ in zip(outs["v1"][0], outs[body][0]))
+    ld = np.abs(outs["v1"][1] - outs[body][1]).max()
+    # compare only the written detail regions of the packed buffer (the
+    # LL quadrant of a fresh packed-first buffer is never written)
+    ya, yb = outs["v1"][2], outs[body][2]
+    mh, nh = 128, 256
+    dd = max(np.abs(ya[:mh, nh:] - yb[:mh, nh:]).max(),
+             np.abs(ya[mh:, :] - yb[mh:, :]).max())
+    assert max(qd, ld, dd) < 1e-5, (body, qd, ld, dd)

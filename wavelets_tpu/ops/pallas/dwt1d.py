@@ -239,12 +239,16 @@ def _pyr_b_on() -> bool:
     return os.environ.get("WAVELETS_TPU_PYR1DB") == "1"
 
 
-def dwt1d_pallas(x, wt, L: int):
-    """(B, n) batched multi-level 1-D DWT, packed layout per row."""
+def dwt1d_pallas(x, wt, L: int, allow_pyr: bool = True):
+    """(B, n) batched multi-level 1-D DWT, packed layout per row.
+
+    ``allow_pyr=False`` skips the (opt-in) batched pyramid route — its
+    stages alias-chain a pl.ANY buffer that cannot be vmap-batched, so
+    the transforms-layer vmap guard batches this per-level route."""
     if L == 0:
         return x
     from .pyramid1d import plan_stages, dwt1d_pyramid_b
-    if _pyr_b_on() and plan_stages(x.shape[1], wt, L, x.dtype):
+    if allow_pyr and _pyr_b_on() and plan_stages(x.shape[1], wt, L, x.dtype):
         return dwt1d_pyramid_b(x, wt, L)
     b, n = x.shape
     s = x
@@ -263,11 +267,11 @@ def dwt1d_pallas(x, wt, L: int):
     return jnp.concatenate([s] + details[::-1], axis=-1)
 
 
-def idwt1d_pallas(y, wt, L: int):
+def idwt1d_pallas(y, wt, L: int, allow_pyr: bool = True):
     if L == 0:
         return y
     from .pyramid1d import plan_stages, idwt1d_pyramid_b
-    if _pyr_b_on() and plan_stages(y.shape[1], wt, L, y.dtype):
+    if allow_pyr and _pyr_b_on() and plan_stages(y.shape[1], wt, L, y.dtype):
         return idwt1d_pyramid_b(y, wt, L)
     b, n = y.shape
     s = y[:, : n >> L]
@@ -433,7 +437,7 @@ def _mxu_level_inv(s, d, wt):
     tm, tn = _mxu_level_plan(b, n, wt, s.dtype)
     tn2 = tn // 2
     gl = _row_gl(tn)
-    mr = _row_margin(wt)
+    mr = _row_margin(wt, fw=False)   # synthesis windows prefer 32-granule
     wr = _w_row_inv(wt, s.dtype, gl, mr)
     hs = _lane_halo_specs(nh, tm, tn2)
     return pl.pallas_call(

@@ -181,8 +181,9 @@ def _plan(m: int, n: int, wt, dtype):
     hm = roundup(max(lo, hi, 1), halo_granule(dtype))
     # wider tiles amortize the fixed 128-lane halo columns (12.5% extra
     # read at tn=2048 vs 6.25% at 4096 — the halo re-read is the largest
-    # DMA term above the 2-pass model); 4096 is opt-in pending VMEM
-    # validation across shapes (WAVELETS_TPU_MXU_TN).
+    # DMA term above the 2-pass model); 4096 is the DEFAULT first ladder
+    # candidate, guarded by the measured VMEM boundary below;
+    # WAVELETS_TPU_MXU_TN prepends a preferred width.
     tn_env = os.environ.get("WAVELETS_TPU_MXU_TN")
     cands = (4096, 2048, 1024, 512, 256)
     if tn_env:   # preferred width, falling back to the standard ladder

@@ -95,7 +95,9 @@ def _stage_plan(n: int, wt, L_rem: int, dtype):
     lo2, hi2 = _syn_reach(wt)
     if max(lo, hi, lo2, hi2) > 120:
         return None
-    m = _row_margin(wt)
+    # one margin serves BOTH the stage's analysis and synthesis dots
+    # (fw/inv stage plans must match); use the synthesis (32) granule
+    m = _row_margin(wt, fw=False)
     for C in (2048, 1024, 512):
         if n % C:
             continue

@@ -68,7 +68,11 @@ def _mesh_dwt(v, wt, L: int, mesh: Mesh, axis_name: str, fw: bool):
             return mesh2d._dwt2_grid_jit(v, wt, int(L), mesh, fw)
         if v.ndim == 3:
             return mesh2d._dwt3_grid_jit(v, wt, int(L), mesh, fw)
-        raise ValueError("2-axis meshes shard rank-2/3 arrays")
+        # other ranks (e.g. 1-D signals): ring driver over the first
+        # mesh axis, second axis replicated — same behavior as before
+        # the grid dispatch existed
+        return sharded._dwt_sharded_jit(v, wt, int(L), mesh,
+                                        mesh.axis_names[0], fw)
     return sharded._dwt_sharded_jit(v, wt, int(L), mesh, axis_name, fw)
 
 

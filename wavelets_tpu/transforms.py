@@ -157,9 +157,10 @@ def _guard_vmap(fast_fn, safe_fn, x):
     return guarded(x)
 
 
-def _dwt_impl(x, wt, L, ndt, fw, safe=False):
-    """``safe=True`` avoids kernels with input_output_aliases (packed
-    modes): required under vmap batching."""
+def _dwt_impl(x, wt, L, ndt, fw):
+    """Kernel-route dispatch; alias-chained (packed-mode) kernels are
+    wrapped in _guard_vmap so user vmaps batch the alias-free variants
+    instead."""
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         # The DWT is linear over C with REAL coefficients, so a complex
         # transform is exactly (dwt(re), dwt(im)) — route complex64
@@ -169,8 +170,8 @@ def _dwt_impl(x, wt, L, ndt, fw, safe=False):
         xr = jnp.real(x)
         if _kernel_route_exists(xr, wt, L, ndt):
             return jax.lax.complex(
-                _dwt_impl(xr, wt, L, ndt, fw, safe),
-                _dwt_impl(jnp.imag(x), wt, L, ndt, fw, safe))
+                _dwt_impl(xr, wt, L, ndt, fw),
+                _dwt_impl(jnp.imag(x), wt, L, ndt, fw))
     if ndt == 2 and x.ndim >= 2 and _use_pallas(x, wt, L):
         if isinstance(wt, GLS):
             from .ops.pallas.lifting2d import dwt2_lifting, idwt2_lifting
@@ -179,8 +180,6 @@ def _dwt_impl(x, wt, L, ndt, fw, safe=False):
             from .ops.pallas.filter2d import dwt2_filter, idwt2_filter
             fn = dwt2_filter if fw else idwt2_filter
         if x.ndim == 2:
-            if safe and fw:
-                return fn(x, wt, L, packed=False)
             if fw:
                 return _guard_vmap(lambda v: fn(v, wt, L),
                                    lambda v: fn(v, wt, L, packed=False), x)
@@ -196,14 +195,16 @@ def _dwt_impl(x, wt, L, ndt, fw, safe=False):
         out = jax.vmap(call)(flat)
         return out.reshape(x.shape)
     if ndt == 1 and _use_pallas_1d(x, wt, L):
+        # the batched-rows kernels are alias-free, but the OPT-IN batched
+        # pyramid (WAVELETS_TPU_PYR1DB=1) alias-chains — guard user vmaps
+        # onto the per-level route
         from .ops.pallas.dwt1d import dwt1d_pallas, idwt1d_pallas
-        return dwt1d_pallas(x, wt, L) if fw else idwt1d_pallas(x, wt, L)
+        fn1 = dwt1d_pallas if fw else idwt1d_pallas
+        return _guard_vmap(lambda v: fn1(v, wt, L),
+                           lambda v: fn1(v, wt, L, allow_pyr=False), x)
     if ndt == 1 and _use_pallas_wide1d(x, wt, L):
         from .ops.pallas.wide1d import (dwt1d_wide, idwt1d_wide,
                                         dwt1d_wide_nopyr, idwt1d_wide_nopyr)
-        if safe:  # the pyramid's packed stages alias-chain (un-vmappable)
-            return dwt1d_wide_nopyr(x, wt, L) if fw \
-                else idwt1d_wide_nopyr(x, wt, L)
         if fw:
             return _guard_vmap(lambda v: dwt1d_wide(v, wt, L),
                                lambda v: dwt1d_wide_nopyr(v, wt, L), x)
@@ -232,9 +233,9 @@ def _dwt_impl(x, wt, L, ndt, fw, safe=False):
 # the reference's in-place dwt!/idwt! (transforms_main.jl:44-67), halving
 # peak HBM for full-size transforms.
 _dwt_jit = partial(jax.jit,
-                   static_argnames=("wt", "L", "ndt", "fw", "safe"))(_dwt_impl)
+                   static_argnames=("wt", "L", "ndt", "fw"))(_dwt_impl)
 _dwt_jit_donate = partial(jax.jit,
-                          static_argnames=("wt", "L", "ndt", "fw", "safe"),
+                          static_argnames=("wt", "L", "ndt", "fw"),
                           donate_argnums=0)(_dwt_impl)
 
 
