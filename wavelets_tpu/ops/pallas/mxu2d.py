@@ -795,10 +795,14 @@ def _plan_inv(ml: int, nl: int, wt, dtype):
     hm2 = roundup(max(lo, hi, 1), halo_granule(dtype))
     hn2 = 128
     mh, nh = ml // 2, nl // 2
-    tn = next((c for c in (2048, 1024, 512, 256) if nl % c == 0), None)
+    import os
+    tn_env = os.environ.get("WAVELETS_TPU_MXU_INV_TN")
+    cands = (4096, 2048, 1024, 512, 256)
+    if tn_env:
+        cands = (int(tn_env),) + cands
     # a single lane granule is still correct: its periodic neighbor is
     # itself (whole quadrant row in one tile)
-    if tn is None or nh % hn2 or nh // hn2 < 1:
+    if nh % hn2 or nh // hn2 < 1:
         return None
     tm = 128
     while tm >= 4 * hm2:
@@ -810,13 +814,16 @@ def _plan_inv(ml: int, nl: int, wt, dtype):
         return None
     if mh // hm2 < 2:
         return None
-    # VMEM live-set estimate: 4 quadrant exts + Xs/Xd + out + bf16 splits
-    tn2 = tn // 2
-    ext_b = 4 * (tm // 2 + 2 * hm2) * (tn2 + 256) * 4
-    x_b = 2 * tm * (tn2 + 256) * 4
-    if (ext_b + x_b) * 5 // 2 + tm * tn * 4 > (13 << 20):
-        return None
-    return tm, tn, hm2, hn2
+    # VMEM live-set estimate: 4 quadrant exts + Xs/Xd + out + bf16
+    # splits; widen tn down the ladder until it fits (same halo-
+    # amortization reasoning as the forward _plan)
+    for tn in (c for c in cands if nl % c == 0):
+        tn2 = tn // 2
+        ext_b = 4 * (tm // 2 + 2 * hm2) * (tn2 + 256) * 4
+        x_b = 2 * tm * (tn2 + 256) * 4
+        if (ext_b + x_b) * 5 // 2 + tm * tn * 4 <= (13 << 20):
+            return tm, tn, hm2, hn2
+    return None
 
 
 def mxu_inv_ok(ml: int, nl: int, wt, dtype) -> bool:
