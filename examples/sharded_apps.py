@@ -48,6 +48,25 @@ def main():
     rt = parallel.imodwt(mw, w.wt.wavelet(w.wt.db4), mesh=mesh)
     print(f"modwt L8 round-trip err {float(jnp.max(jnp.abs(rt - sig))):.2e}")
 
+    # --- 2-axis grid mesh P('x','y'): both image axes sharded --------------
+    if nd % 2 == 0:
+        from wavelets_tpu.parallel import mesh2d
+        grid = mesh2d.make_mesh2d((nd // 2, 2))
+        xg = mesh2d.shard_grid(jnp.asarray(noisy, jnp.float32), grid)
+        deng = parallel.denoise(xg, w.wt.wavelet(w.wt.db2), L=4, mesh=grid)
+        print(f"grid-mesh denoise residual var "
+              f"{float(jnp.var(deng - jnp.asarray(img))):.4f}")
+        vol = jnp.asarray(rng.standard_normal((64, 32, 32)), jnp.float32)
+        yg3 = mesh2d.dwt3(mesh2d.shard_grid3(vol, grid),
+                          w.wt.wavelet(w.wt.db2), 2, grid)
+        r3 = mesh2d.idwt3(yg3, w.wt.wavelet(w.wt.db2), 2, grid)
+        print(f"grid-mesh 3-D round-trip err "
+              f"{float(jnp.max(jnp.abs(r3 - vol))):.2e}")
+
+    # Multi-host (DCN): `python benchmarks/multihost.py` runs this same
+    # app layer across TWO jax.distributed processes forming one global
+    # mesh — the hardware-free analogue of a 2-host pod slice.
+
 
 if __name__ == "__main__":
     main()
