@@ -138,3 +138,18 @@ def test_sharded_wpt_nonperiodic(boundary):
     assert np.abs(ref - got).max() < 1e-10, boundary
     xr = np.asarray(parallel.iwpt(jnp.asarray(got), wt, tree, mesh=mesh))
     assert np.abs(xr - x).max() < 1e-10, boundary
+
+
+def test_bestbasistree_non_pow2_mesh():
+    """Non-power-of-two device counts can't nest shard chunks with
+    segment boundaries at every depth; the driver must fall back to the
+    replicated search and still match exactly (regression: reshape
+    crash / silently wrong segment sums)."""
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 virtual devices")
+    mesh = parallel.make_mesh(6)
+    wt = w.wt.wavelet(w.wt.db2)
+    x = np.random.default_rng(44).standard_normal(96)
+    ref = w.bestbasistree(jnp.asarray(x), wt)
+    got = parallel.bestbasistree(jnp.asarray(x), wt, mesh=mesh)
+    assert np.array_equal(ref, got)

@@ -42,3 +42,11 @@ def test_wplotim_3d_color():
     xts = w.wplotim(x, 2, w.wt.wavelet(w.wt.db2))
     assert xts.shape == (32, 32, 3)
     assert 0 <= xts.min() and xts.max() <= 1
+
+
+def test_wplotim_default_levels():
+    """2-D/3-D wplotim works without an explicit L (regression: the
+    documented default crashed on J - None)."""
+    img = np.random.default_rng(5).standard_normal((16, 16))
+    out = np.asarray(w.wplotim(img))
+    assert out.shape == (16, 16) and np.isfinite(out).all()

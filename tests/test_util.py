@@ -129,3 +129,16 @@ def test_split_merge_roundtrip():
     xb = jnp.arange(32.0).reshape(2, 16)
     s, d = split_last(xb)
     assert np.allclose(merge_last(s, d), xb)
+
+
+def test_wpt_odd_length_identity():
+    """Lengths with no factor of 2 have the empty tree: wpt/iwpt are the
+    identity and isvalidtree accepts exactly the empty tree (regression:
+    2**(ns-1) went float at ns=0 and crashed)."""
+    import wavelets_tpu as w
+    assert w.isvalidtree(5, np.zeros(0, bool))
+    assert not w.isvalidtree(5, np.zeros(1, bool))
+    x = np.arange(5.0)
+    wt = w.wt.wavelet(w.wt.haar)
+    assert np.allclose(np.asarray(w.wpt(x, wt)), x)
+    assert np.allclose(np.asarray(w.iwpt(x, wt)), x)

@@ -33,13 +33,8 @@ __all__ = ["axis0_level_fw", "axis0_level_inv", "axis0_ok",
 
 
 def _reach(wt) -> int:
-    if isinstance(wt, GLS):
-        r = 0
-        for st in wt.steps:
-            offs = [k - st.shift for k in range(len(st.coef))]
-            r += max(abs(o) for o in offs) if offs else 0
-        return max(r, 1)
-    return len(wt.qmf)
+    from .common import half_reach
+    return half_reach(wt, 1)
 
 
 def _halo_of(wt, dtype=np.float32) -> int:

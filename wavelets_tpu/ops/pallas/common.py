@@ -15,7 +15,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["roll", "deint_lanes", "int_lanes", "halo_specs", "roundup",
-           "pick_col_tm", "pick_row_tm", "halo_granule", "dtype_ok"]
+           "pick_col_tm", "pick_row_tm", "halo_granule", "dtype_ok",
+           "lane_reach", "half_reach"]
 
 
 def roundup(x: int, m: int) -> int:
@@ -171,3 +172,36 @@ def pick_row_tm(m: int, n: int, itemsize: int, budget: int = 2 << 20,
     while tm * 2 <= cap and m % (tm * 2) == 0:
         tm *= 2
     return tm
+
+
+def lane_reach(wt, min_r: int = 1) -> int:
+    """Total lane contamination of the INTERLEAVED-lane chain: each
+    lifting step k touches lanes 2(k - shift) +/- 1 of the interleaved
+    layout (predict writes odds, update evens); filters reach one full
+    tap span + 1.  ``min_r`` is the caller's floor (e.g. 2 to keep the
+    wrap parity even).  The single source for wide1d/fused2d halo
+    planning — a reach-formula fix lands on every kernel at once."""
+    from ...wt.carriers import OrthoFilter
+    from ...wt.schemes import PREDICT
+    if isinstance(wt, OrthoFilter):
+        return max(len(wt.qmf) + 1, min_r)
+    r = 0
+    for st in wt.steps:
+        pred = st.kind == PREDICT
+        offs = [abs(2 * (k - st.shift) + (1 if pred else -1))
+                for k in range(len(st.coef))]
+        r += max(offs) if offs else 0
+    return max(r, min_r)
+
+
+def half_reach(wt, min_r: int = 1) -> int:
+    """Total stencil reach of a lifting step chain in HALF-index space
+    (the split s/d arrays); filters reach their tap count."""
+    from ...wt.carriers import GLS
+    if isinstance(wt, GLS):
+        r = 0
+        for st in wt.steps:
+            offs = [k - st.shift for k in range(len(st.coef))]
+            r += max(abs(o) for o in offs) if offs else 0
+        return max(r, min_r)
+    return max(len(wt.qmf), min_r)

@@ -70,15 +70,8 @@ def _reach_half(wt) -> int:
 
 def _lane_reach(wt) -> int:
     """Total lane contamination of the interleaved-lane chain."""
-    if isinstance(wt, OrthoFilter):
-        return len(wt.qmf) + 1
-    r = 0
-    for st in wt.steps:
-        pred = st.kind == PREDICT
-        offs = [abs(2 * (k - st.shift) + (1 if pred else -1))
-                for k in range(len(st.coef))]
-        r += max(offs) if offs else 0
-    return max(r, 1)
+    from .common import lane_reach
+    return lane_reach(wt, 1)
 
 
 def _row_chain(v, wt):

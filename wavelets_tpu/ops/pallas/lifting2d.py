@@ -57,11 +57,8 @@ __all__ = [
 
 def scheme_reach(scheme: GLS) -> int:
     """Total stencil reach of the step chain in half-index space."""
-    reach = 0
-    for st in scheme.steps:
-        offs = [k - st.shift for k in range(len(st.coef))]
-        reach += max(abs(o) for o in offs) if offs else 0
-    return max(reach, 1)
+    from .common import half_reach
+    return half_reach(scheme, 1)
 
 
 from .common import roll as _roll, deint_lanes as _deint_lanes, \
@@ -204,16 +201,7 @@ def _rows(x, scheme: GLS, tm: int, fw: bool):
 
 # --- column (sublane-direction) kernels -------------------------------------
 
-def _halo_specs(tm: int, halo: int, nblocks_h: int, tn: int):
-    """(top-halo, center, bottom-halo) specs with ring-wrapped index maps."""
-    step = tm // halo
-    return [
-        pl.BlockSpec((halo, tn), lambda i, j: ((i * step - 1) % nblocks_h, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((halo, tn), lambda i, j: (((i + 1) * step) % nblocks_h, j),
-                     memory_space=pltpu.VMEM),
-    ]
+from .common import halo_specs as _halo_specs  # one ring-spec builder
 
 
 def _col_fw_kernel(top_ref, mid_ref, bot_ref, s_ref, d_ref, *, scheme, halo):

@@ -47,16 +47,10 @@ _HALO = 8  # sublane halo granule (min f32 tile height)
 
 
 def _lane_reach(wt) -> int:
-    """Lane contamination of the interleaved chain (both directions)."""
-    if isinstance(wt, OrthoFilter):
-        return len(wt.qmf) + 1
-    r = 0
-    for st in wt.steps:
-        pred = st.kind == PREDICT
-        offs = [abs(2 * (k - st.shift) + (1 if pred else -1))
-                for k in range(len(st.coef))]
-        r += max(offs) if offs else 0
-    return max(r, 2)
+    """Lane contamination of the interleaved chain (both directions);
+    floor 2 keeps the margin parity even (see common.lane_reach)."""
+    from .common import lane_reach
+    return lane_reach(wt, 2)
 
 
 def _filter_interleaved(v, wt: OrthoFilter, fw: bool):

@@ -82,8 +82,8 @@ def _wpt_impl(x, wt, tree: np.ndarray, fw: bool):
     if not isvalidtree(n, tree):
         raise ValueError("invalid tree")
     tree = np.asarray(tree, dtype=bool)
-    if not tree[0]:
-        return x
+    if tree.size == 0 or not tree[0]:
+        return x  # empty tree (no factor of 2) or inactive root: identity
 
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         # linear over C with real coefficients: two real transforms ride

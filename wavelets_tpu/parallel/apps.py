@@ -133,6 +133,14 @@ def bestbasistree(y, wt: DiscreteWavelet, L: int | None = None,
         raise ValueError("bestbasistree expects a 1-D signal")
     n = y.shape[0]
     nd = mesh.shape[axis_name]
+    # _seg_entropies' scatter requires shard chunks to nest with segment
+    # boundaries at EVERY depth, which holds iff the device count is a
+    # power of two dividing n.  Other meshes fall back to the replicated
+    # host-path search (the signal is 1-D and small relative to HBM;
+    # correctness beats the psum on an awkward mesh).
+    if n % nd or nd & (nd - 1):
+        from ..threshold.entropy import bestbasistree as _local_bbt
+        return _local_bbt(y, wt, L=L, tree=tree, et=et)
     Lmax = maxtransformlevels(n)
     if tree is None:
         tree = maketree(n, Lmax if L is None else int(L), "full")
@@ -242,7 +250,7 @@ def _wpt_sharded(x, wt, tree, mesh: Mesh, axis_name: str, fw: bool):
     tree = np.asarray(tree, dtype=bool)
     if not isvalidtree(n, tree):
         raise ValueError("invalid tree")
-    if not tree[0]:
+    if tree.size == 0 or not tree[0]:
         return x
     Lmax = treedepth(tree)
     depths = range(Lmax) if fw else range(Lmax - 1, -1, -1)

@@ -108,4 +108,7 @@ def wplotim(x, L: int | None = None, wt=None, **kw):
     x = np.asarray(x)
     if x.ndim == 1:
         return _wplotim_1d(x)
-    return _wplotim_nd(x, L, wt, **kw)
+    if L is None:   # default: the full dyadic depth of the square size
+        from .utils.indexing import maxtransformlevels
+        L = maxtransformlevels(x.shape[0])
+    return _wplotim_nd(x, int(L), wt, **kw)

@@ -101,9 +101,11 @@ def threshold(x, th: THType, t=None):
     if isinstance(th, SemiSoftTH):
         sh = mag - t
         ramp = jnp.sign(x) * sh * 2
-        out = jnp.where(sh < 0, 0, jnp.where(sh < t, ramp, x))
-        # reference gate: values with x > 2t pass through unchanged
-        return jnp.where(x > 2 * t, x, out)
+        # |x| >= 2t already passes through unchanged via the inner
+        # where (sh >= t  <=>  |x| >= 2t) — no extra gate needed, and
+        # the old signed-x gate was dead code that would have broken
+        # negative coefficients had the inner where ever changed
+        return jnp.where(sh < 0, 0, jnp.where(sh < t, ramp, x))
     if isinstance(th, SteinTH):
         sh = 1 - t * t / (x * x)
         return jnp.where(sh < 0, 0, x * sh)

@@ -38,6 +38,8 @@ def isvalidtree(x, tree: np.ndarray) -> bool:
     nb = len(tree)
     if nb != 2 ** ns - 1:
         return False
+    if ns == 0:          # no factor of 2: the only valid tree is empty
+        return True
     tree = np.asarray(tree, dtype=bool)
     # internal nodes occupy [0, 2^(ns-1) - 1)
     for i in range(2 ** (ns - 1) - 1):
