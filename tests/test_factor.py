@@ -111,3 +111,16 @@ def test_factorization_is_cached():
     a = lifting_factorization(wf.qmf, "db7")
     b = lifting_factorization(wf.qmf, "db7")
     assert a is b
+
+
+def test_vaid_f32_periodic_refused():
+    """Vaidyanathan's factored cascade amplifies f32 rounding ~14x on the
+    stability probe (every other stock scheme <= 7e-6) — silently ~0.4
+    round-trip error before the gate (found by fuzzing).  f32 must be
+    refused with the stability error; f64 stays usable."""
+    wl = wavelet(w.wt.ALL_CLASSES["vaid"], "lifting")
+    x = np.random.default_rng(0).standard_normal(128)
+    y = w.dwt(x, wl, 3)                        # f64: fine
+    assert np.abs(np.asarray(w.idwt(y, wl, 3)) - x).max() < 1e-5
+    with pytest.raises(ValueError, match="numerically unstable"):
+        w.dwt(x.astype(np.float32), wl, 3)

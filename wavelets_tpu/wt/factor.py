@@ -183,17 +183,22 @@ _STAB_CACHE: dict = {}
 # BENCHMARKS.md), so these keep end-to-end degradation below ~4e-3 (f32)
 # / ~4e-9 (f64).
 _STAB_MAX = {4: 1e-4, 8: 1e-10}
+# The PERIODIC wrap is algebraically exact for any scheme, but a cascade
+# with large internal gain still amplifies floating-point rounding:
+# Vaidyanathan's factorization measures a 14.2 (!) f32 probe error where
+# every other stock scheme measures <= 7e-6 (and 1.9e-8 at f64 — usable,
+# hence the looser f64 limit).  Found by fuzzing; without this gate
+# vaid-lifting silently produced ~0.4 round-trip error at f32.
+_STAB_MAX_PERIODIC = {4: 1e-4, 8: 1e-6}
 
 
 def check_boundary_stability(scheme, dtype) -> None:
-    """Raise if the scheme's cascade measurably loses its algebraic
-    exactness under the scheme's non-periodic boundary at this working
-    precision (see boundary_roundtrip_error).  Periodic is always fine
-    (the cascade composes to the bounded filter bank exactly).  Cached
-    per (scheme, boundary, precision); called at trace time so it costs
-    nothing at run time."""
-    if scheme.boundary == "periodic":
-        return
+    """Raise if the scheme's cascade measurably loses round-trip
+    exactness at this working precision (see boundary_roundtrip_error)
+    — at the edges for non-periodic extensions, or anywhere for
+    cascades whose internal gain amplifies rounding (vaid at f32).
+    Cached per (scheme, boundary, precision); called at trace time so
+    it costs nothing at run time."""
     itemsize = np.dtype(dtype).itemsize
     probe_dtype = np.float64 if itemsize == 8 else np.float32
     key = (scheme.steps, scheme.norm1, scheme.norm2, scheme.boundary,
@@ -204,16 +209,17 @@ def check_boundary_stability(scheme, dtype) -> None:
             scheme.steps, scheme.norm1, scheme.norm2, scheme.boundary,
             dtype=probe_dtype)
         _STAB_CACHE[key] = err
-    lim = _STAB_MAX.get(itemsize, _STAB_MAX[4])
+    table = (_STAB_MAX_PERIODIC if scheme.boundary == "periodic"
+             else _STAB_MAX)
+    lim = table.get(itemsize, table[4])
     if err > lim:
         raise ValueError(
             f"lifting scheme {scheme.name!r} is numerically unstable "
             f"under boundary {scheme.boundary!r} at this precision "
             f"(measured probe round-trip error {err:.1e} > {lim:.0e}): "
-            "the factored cascade's internal gain breaks the edge "
-            "cancellation.  Use boundary='periodic' (exact for any "
-            "scheme), 'zeropad' (stabler than 'symmetric'), float64, or "
-            "transform='filter'.")
+            "the factored cascade's internal gain amplifies rounding.  "
+            "Use float64, transform='filter', or (for non-periodic) "
+            "boundary='periodic'/'zeropad'.")
 
 _TOL = 1e-11
 _DEFECT_MAX = 1e-5   # max tolerated orthonormality defect of the table
