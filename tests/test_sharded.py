@@ -178,3 +178,24 @@ def test_sharded_1d_denoise(mesh):
     out = parallel.denoise(x, wt, L=4, mesh=mesh)
     ref = w.denoise(x, wt, L=4)
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-9)
+
+
+def test_sharded_factored_lifting_small_shards():
+    """Factored schemes carry per-step shifts up to ~5; at 4 rows/shard
+    the one-neighbor halo cannot cover them and the per-step exchange
+    clamps silently — the gate must push such levels to the replicated
+    fallback (regression: factored db4 returned ~4.7 max error)."""
+    import jax
+    import jax.numpy as jnp
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = parallel.make_mesh(8)
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES["db4"], "lifting")
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((32, 64))        # 4 rows per shard
+    ref = np.asarray(w.dwt(jnp.asarray(x), wt, 1))
+    got = np.asarray(parallel.dwt2(
+        parallel.shard_rows(jnp.asarray(x), mesh), wt, 1, mesh))
+    assert np.abs(got - ref).max() < 1e-10
+    back = np.asarray(parallel.idwt2(jnp.asarray(got), wt, 1, mesh))
+    assert np.abs(back - x).max() < 1e-10

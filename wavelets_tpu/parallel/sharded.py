@@ -368,12 +368,22 @@ def _can_shard(m_active: int, nd: int, halo: int) -> bool:
 
 
 def _halo_rows(wt) -> int:
+    """Minimum LOCAL rows per shard for the one-neighbor ring exchange.
+
+    Filters: the pre-decimation stencil needs flen-2 rows from each
+    neighbor on the full-resolution rows.  Lifting: each step's stencil
+    runs on the SPLIT halves (m_loc/2 rows each), so one neighbor covers
+    the per-step reach only when m_loc >= 2 * reach — factored schemes
+    (wt/factor.py) carry shifts up to ~5 where the stock 4 schemes stay
+    at 1-2, and the per-step exchange in _lift_steps_axis0 CLAMPS halos
+    to the neighbor's size (silent corruption if under-gated; found by
+    the round-3 sharded fuzz on factored db4 at 4 rows/shard)."""
     if isinstance(wt, OrthoFilter):
         return max(len(wt.qmf) - 1, 1)
     h = 1
     for st in wt.steps:
         h = max(h, abs(st.shift), len(st.coef))
-    return h
+    return 2 * h
 
 
 def _level_fw_global(active, wt):
