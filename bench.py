@@ -164,6 +164,9 @@ def main():
             rng.standard_normal((4096, 4096)).astype(dtype))
         _try("batched1d_4096x4096_L8_ms",
              lambda v: w.dwt(v, wdb4, 8, ndt=1), xb1)
+        y2 = _dwt_jit(x, wt, levels, 2, True)
+        _try("idwt2_16k_L8_ms",
+             lambda v: _dwt_jit(v, wt, levels, 2, False), y2)
 
     print(json.dumps(out))
 

@@ -798,8 +798,6 @@ def _plan_inv(ml: int, nl: int, wt, dtype):
     import os
     tn_env = os.environ.get("WAVELETS_TPU_MXU_INV_TN")
     cands = (4096, 2048, 1024, 512, 256)
-    if tn_env:
-        cands = (int(tn_env),) + cands
     # a single lane granule is still correct: its periodic neighbor is
     # itself (whole quadrant row in one tile)
     if nh % hn2 or nh // hn2 < 1:
@@ -814,14 +812,19 @@ def _plan_inv(ml: int, nl: int, wt, dtype):
         return None
     if mh // hm2 < 2:
         return None
-    # VMEM live-set estimate: 4 quadrant exts + Xs/Xd + out + bf16
-    # splits; widen tn down the ladder until it fits (same halo-
-    # amortization reasoning as the forward _plan)
+    if tn_env and nl % int(tn_env) == 0:
+        # measured-knob override: trusted past the VMEM gate (A/B use)
+        return tm, int(tn_env), hm2, hn2
+    # VMEM gate: with the sequenced col-dot body (one (E, W) ext + its
+    # split pair live at a time, no [s;d]-stacked copy) every stock
+    # wavelet compiles at tn=4096 — device-probed up to hm2=32 (batt6)
+    # f32+bf16, 18.2 MB in this formula's units; the limit keeps the
+    # measured envelope and drops down the ladder beyond it
     for tn in (c for c in cands if nl % c == 0):
         tn2 = tn // 2
         ext_b = 4 * (tm // 2 + 2 * hm2) * (tn2 + 256) * 4
         x_b = 2 * tm * (tn2 + 256) * 4
-        if (ext_b + x_b) * 5 // 2 + tm * tn * 4 <= (13 << 20):
+        if ext_b * 2 + x_b * 2 + 2 * tm * tn * 4 <= (19 << 20):
             return tm, tn, hm2, hn2
     return None
 
@@ -832,8 +835,8 @@ def mxu_inv_ok(ml: int, nl: int, wt, dtype) -> bool:
 
 def _mxu_inv_kernel(*refs, nj, mode, gl, m):
     groups = [refs[9 * k: 9 * (k + 1)] for k in range(4)]
-    wc_ref, wr_ref = refs[36], refs[37]
-    o_ref = refs[38]
+    wcs_ref, wcd_ref, wr_ref = refs[36], refs[37], refs[38]
+    o_ref = refs[39]
 
     def ext(g):
         nw, nn, ne, ww, cc, ee, sw, ss, se = g
@@ -842,13 +845,22 @@ def _mxu_inv_kernel(*refs, nj, mode, gl, m):
         bot = jnp.concatenate([sw[:], ss[:], se[:]], axis=1)
         return jnp.concatenate([top, mid, bot], axis=0)
 
-    ll, lh, hl, hh = (ext(g) for g in groups)
-    dt = ll.dtype
-    wc = _pair(wc_ref[:], mode)
-    Xs = _dot_f32(wc, _pair(jnp.concatenate([ll, hl], axis=0), mode),
-                  mode).astype(dt)
-    Xd = _dot_f32(wc, _pair(jnp.concatenate([lh, hh], axis=0), mode),
-                  mode).astype(dt)
+    dt = groups[0][4].dtype
+    wc_s = _pair(wcs_ref[:], mode)
+    wc_d = _pair(wcd_ref[:], mode)
+
+    def col(ga, gb):
+        # X = Wc_s @ ext(ga) + Wc_d @ ext(gb), the [s;d]-stacked column
+        # dot split into its two row halves so the (2E, W) stacked copy
+        # is never materialized and only ONE (E, W) extended operand
+        # (+ its split pair) is live at a time.  Same FLOPs; the VMEM
+        # headroom is what admits the tn=4096 tile ladder (_plan_inv).
+        Xa = _dot_f32(wc_s, _pair(ext(ga), mode), mode)
+        Xb = _dot_f32(wc_d, _pair(ext(gb), mode), mode)
+        return (Xa + Xb).astype(dt)
+
+    Xs = col(groups[0], groups[2])      # ll, hl -> scaling columns
+    Xd = col(groups[1], groups[3])      # lh, hh -> detail columns
 
     wr = _pair(wr_ref[:], mode)
     Xs_p = _pair(Xs, mode)
@@ -889,8 +901,11 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
     mr = _row_margin(wt, fw=False)
     wr = _w_row_inv(wt, dt, gl, mr)
     wc = _w_col_inv(wt, tm, hm2, dt)
-    in_specs += [
-        pl.BlockSpec(wc.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    E = wc.shape[1] // 2
+    wcs, wcd = wc[:, :E], wc[:, E:]     # host-side split: no in-kernel
+    in_specs += [                       # non-128-aligned lane slicing
+        pl.BlockSpec(wcs.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(wcd.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(wr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
@@ -902,7 +917,7 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ml, nl), dt),
         compiler_params=_sem(2),
-    )(*inputs, wc, wr)
+    )(*inputs, wcs, wcd, wr)
 
 
 def mxu_inv_quads(ll, lh, hl, hh, wt):
