@@ -118,12 +118,11 @@ def main():
 
     # bfloat16 companion number (TPU-native storage dtype; rides the same
     # MXU kernels with native 1-pass dots).  The bf16 roofline is
-    # calibrated with a SAME-DTYPE copy: bf16 buffers stream slower per
-    # byte than f32 on this chip (measured ~215-242 vs ~330-475 GB/s,
-    # including a pure in-kernel DMA HBM->HBM copy with no VPU pass at
-    # 236 vs 329 GB/s), so the f32-calibrated bandwidth is not an
-    # achievable bound for any bf16 op.  Both bandwidths are reported.
-    # Skipped on CPU (no MXU path).
+    # calibrated with a SAME-DTYPE copy — still the honest floor, though
+    # the old "bf16 bytes stream slower" doctrine was a barrier-latency
+    # artifact (retracted; BENCHMARKS.md round-3-late): honest bf16 and
+    # f32 copies stream within a few % of each other.  Both bandwidths
+    # are reported.  Skipped on CPU (no MXU path).
     if platform != "cpu":
         try:
             xb = x.astype(jnp.bfloat16)

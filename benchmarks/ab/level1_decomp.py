@@ -103,8 +103,8 @@ def main():
         return dt
 
     xb = x32.astype(jnp.bfloat16)
-    # honest same-dtype bf16 floor (bf16 DMA streams slower than f32
-    # per byte on this chip: ~236 vs ~330 GB/s pure-DMA)
+    # same-dtype bf16 floor (the "bf16 streams slower" reading was a
+    # barrier-latency artifact — retracted, BENCHMARKS.md round-3-late)
     dtbc = time_fn(copy, xb, 10)
     print(f"bf16 xla copy: {dtbc*1e3:.3f} ms "
           f"({2*xb.size*2/dtbc/1e9:.1f} GB/s)")

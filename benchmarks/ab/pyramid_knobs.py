@@ -1,7 +1,7 @@
 """Full-pyramid (16k², L8, cdf97) A/B of the MXU kernel knobs, f32+bf16,
-with same-dtype honest floors (bf16 bytes stream slower than f32 bytes
-on this chip — pure-DMA ~236 vs ~330 GB/s — so the bf16 roofline must be
-calibrated with a bf16 copy, not the f32 one)."""
+with same-dtype floors.  (The old "bf16 bytes stream slower" reading was
+a barrier-latency artifact — retracted, BENCHMARKS.md round-3-late — but
+a same-dtype copy remains the honest calibration.)"""
 
 import os
 import sys

@@ -26,7 +26,16 @@ def barrier(y) -> float:
 
 def time_fn(fn, x, iters: int = 10, chain: bool = True) -> float:
     """Median-free simple average seconds/iteration of ``fn`` with a
-    dependency chain (prevents queue overlap) and a scalar barrier."""
+    dependency chain (prevents queue overlap) and a scalar barrier.
+
+    The closing barrier's own latency is measured on the already-ready
+    result and subtracted: on the tunneled axon platform one scalar
+    fetch costs a FIXED ~29 ms (size-independent; pure host/RTT fetch
+    path, no device work), which otherwise inflates every reading by
+    ~29ms/iters — an iters-dependent artifact, not op time.  Discovered
+    round 3 via an iters sweep (5..80 fits t + C/iters with C ≈ 28-29 ms
+    for both a copy kernel and the dwt); all round-1/2 numbers carry it.
+    Same-iters A/B comparisons were and remain valid (equal inflation)."""
     y = fn(x)
     barrier(y)
     same = getattr(y, "shape", None) == getattr(x, "shape", None) and \
@@ -36,7 +45,15 @@ def time_fn(fn, x, iters: int = 10, chain: bool = True) -> float:
     for _ in range(iters):
         v = fn(v) if (chain and same) else fn(x)
     barrier(v)
-    return (time.perf_counter() - t0) / iters
+    t1 = time.perf_counter()
+    # calibrate the fetch latency on the now-ready result (min of 2)
+    b0 = time.perf_counter()
+    barrier(v)
+    b1 = time.perf_counter()
+    barrier(v)
+    b2 = time.perf_counter()
+    c = min(b1 - b0, b2 - b1)
+    return max((t1 - t0) - c, 1e-12) / iters
 
 
 def measure_hbm_bandwidth(nbytes: int = 1 << 28, iters: int = 30) -> float:
