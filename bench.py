@@ -143,9 +143,15 @@ def main():
     if platform != "cpu":
         from wavelets_tpu.profiling import time_fn
 
+        import math
+
         def _try(key, fn, arg, iters2=5):
             try:
-                out[key] = round(time_fn(fn, arg, iters2) * 1e3, 3)
+                dt2 = time_fn(fn, arg, iters2)
+                if math.isnan(dt2):   # below the measurement floor —
+                    dt2 = time_fn(fn, arg, 4 * iters2)   # retry, more iters
+                out[key] = (None if math.isnan(dt2)
+                            else round(dt2 * 1e3, 3))
             except Exception:
                 out[key] = None
 
@@ -163,10 +169,24 @@ def main():
             rng.standard_normal((4096, 4096)).astype(dtype))
         _try("batched1d_4096x4096_L8_ms",
              lambda v: w.dwt(v, wdb4, 8, ndt=1), xb1)
-        y2 = _dwt_jit(x, wt, levels, 2, True)
-        _try("idwt2_16k_L8_ms",
-             lambda v: _dwt_jit(v, wt, levels, 2, False), y2)
+        # y2 built inside a guard: if the forward trace/compile/dispatch
+        # fails here, the secondary reads null instead of killing the
+        # already-computed headline JSON (fail-soft, like every _try)
+        try:
+            y2 = _dwt_jit(x, wt, levels, 2, True)
+        except Exception:
+            y2 = None
+        if y2 is not None:
+            _try("idwt2_16k_L8_ms",
+                 lambda v: _dwt_jit(v, wt, levels, 2, False), y2)
+        else:
+            out["idwt2_16k_L8_ms"] = None
 
+    # NaN is not valid JSON — a below-floor reading (time_fn returns NaN)
+    # must surface as null, never as a bare NaN token
+    import math as _math
+    out = {k: (None if isinstance(v, float) and _math.isnan(v) else v)
+           for k, v in out.items()}
     print(json.dumps(out))
 
 

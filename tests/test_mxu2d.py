@@ -404,3 +404,45 @@ def test_mxu_alt_bodies_match_v1(monkeypatch, body):
     dd = max(np.abs(ya[:mh, nh:] - yb[:mh, nh:]).max(),
              np.abs(ya[mh:, :] - yb[mh:, :]).max())
     assert max(qd, ld, dd) < 1e-5, (body, qd, ld, dd)
+
+
+def test_plan_inv_envelope_pins(monkeypatch):
+    """Hardware-free pin of the device-probed tile envelope (ADVICE r3):
+    the 19<<20 VMEM gate admits tn=4096 inverse tiles for every stock
+    wavelet up to hm2=32 (batt6) in both dtypes — behavior only reachable
+    on device (CPU interpret tests top out at width 768 -> tn=256), so
+    future edits to the gate constant or ladder must trip this test."""
+    monkeypatch.delenv("WAVELETS_TPU_MXU_INV_TN", raising=False)
+    monkeypatch.delenv("WAVELETS_TPU_MXU_TN", raising=False)
+    monkeypatch.delenv("WAVELETS_TPU_MXU_TM", raising=False)
+    cdf = w.wt.wavelet(w.wt.cdf97, "lifting")
+    db4 = w.wt.wavelet(w.wt.db4)
+    batt = w.wt.wavelet(w.wt.batt6)
+    for n in (16384, 8192, 4096):
+        assert M._plan_inv(n, n, cdf, np.float32) == (128, 4096, 8, 128)
+        assert M._plan_inv(n, n, cdf, jnp.bfloat16) == (128, 4096, 16, 128)
+        assert M._plan_inv(n, n, db4, np.float32) == (128, 4096, 8, 128)
+        assert M._plan_inv(n, n, batt, np.float32) == (128, 4096, 32, 128)
+        assert M._plan_inv(n, n, batt, jnp.bfloat16) == (128, 4096, 32, 128)
+        # forward plans at the same shapes (the VMEM gate's other user):
+        # batt6 f32's extended tile exceeds the 2.55 MB line at tn=4096
+        assert M._plan(n, n, cdf, np.float32) == (128, 4096, 8)
+        assert M._plan(n, n, batt, np.float32) == (128, 2048, 64)
+        assert M._plan(n, n, batt, jnp.bfloat16) == (128, 4096, 64)
+    # the small-shape end of the ladder (the one CPU tests exercise)
+    assert M._plan_inv(768, 768, cdf, np.float32) == (128, 256, 8, 128)
+
+
+def test_plan_inv_tn_override_sanity_ceiling(monkeypatch):
+    """WAVELETS_TPU_MXU_INV_TN is trusted past the VMEM gate for A/Bs,
+    but an estimate beyond ~2x the gate is rejected (falls back to the
+    ladder) instead of risking an over-VMEM remote compile, which can
+    wedge the tunneled device (ADVICE r3)."""
+    cdf = w.wt.wavelet(w.wt.cdf97, "lifting")
+    base = M._plan_inv(16384, 16384, cdf, np.float32)
+    monkeypatch.setenv("WAVELETS_TPU_MXU_INV_TN", "16384")
+    with pytest.warns(UserWarning, match="rejected"):
+        assert M._plan_inv(16384, 16384, cdf, np.float32) == base
+    # a modest override within 2x of the gate is still honored
+    monkeypatch.setenv("WAVELETS_TPU_MXU_INV_TN", "8192")
+    assert M._plan_inv(16384, 16384, cdf, np.float32)[1] == 8192

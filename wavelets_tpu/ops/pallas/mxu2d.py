@@ -813,8 +813,23 @@ def _plan_inv(ml: int, nl: int, wt, dtype):
     if mh // hm2 < 2:
         return None
     if tn_env and nl % int(tn_env) == 0:
-        # measured-knob override: trusted past the VMEM gate (A/B use)
-        return tm, int(tn_env), hm2, hn2
+        # measured-knob override: trusted past the VMEM gate (A/B use),
+        # but with a loose sanity ceiling — on this platform a failed or
+        # killed over-VMEM remote compile can wedge the tunneled device
+        # for 10-30+ min, so reject values whose formula estimate
+        # exceeds ~2x the measured gate instead of compiling them.
+        tno = int(tn_env)
+        tno2 = tno // 2
+        est = (4 * (tm // 2 + 2 * hm2) * (tno2 + 256) * 4 * 2
+               + 2 * tm * (tno2 + 256) * 4 * 2 + 2 * tm * tno * 4)
+        if est <= 2 * (19 << 20):
+            return tm, tno, hm2, hn2
+        import warnings
+        warnings.warn(
+            f"WAVELETS_TPU_MXU_INV_TN={tno} rejected: estimated VMEM "
+            f"{est / (1 << 20):.1f} MB exceeds 2x the measured gate "
+            f"(risk of wedging the device on a failed compile); "
+            f"falling back to the standard ladder")
     # VMEM gate: with the sequenced col-dot body (one (E, W) ext + its
     # split pair live at a time, no [s;d]-stacked copy) every stock
     # wavelet compiles at tn=4096 — device-probed up to hm2=32 (batt6)

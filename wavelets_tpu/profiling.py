@@ -46,14 +46,33 @@ def time_fn(fn, x, iters: int = 10, chain: bool = True) -> float:
         v = fn(v) if (chain and same) else fn(x)
     barrier(v)
     t1 = time.perf_counter()
-    # calibrate the fetch latency on the now-ready result (min of 2)
-    b0 = time.perf_counter()
-    barrier(v)
-    b1 = time.perf_counter()
-    barrier(v)
-    b2 = time.perf_counter()
-    c = min(b1 - b0, b2 - b1)
-    return max((t1 - t0) - c, 1e-12) / iters
+    # calibrate the fetch latency on the now-ready result (min of 3 —
+    # robust to per-fetch RTT spikes during the timed barrier vs calmer
+    # calibration probes)
+    probes = []
+    for _ in range(3):
+        b0 = time.perf_counter()
+        barrier(v)
+        probes.append(time.perf_counter() - b0)
+    c = min(probes)
+    # robust noise scale: median-minus-min (a single RTT spike among the
+    # probes must not condemn an otherwise clean reading)
+    noise = sorted(probes)[1] - c
+    net = (t1 - t0) - c
+    # Below-floor guard: when the calibration swallows the whole
+    # measurement (tiny op at low iters, or an RTT spike in the timed
+    # barrier), the reading carries no signal — returning a tiny float
+    # silently turns into absurd Gs/s downstream.  Warn and return NaN
+    # so callers see the reading was below the measurement floor.
+    if net <= noise:
+        import warnings
+        warnings.warn(
+            f"time_fn: measurement ({t1 - t0:.4f}s) is within noise of "
+            f"the barrier calibration ({c:.4f}s +/- {noise:.4f}s) — "
+            f"reading is below the measurement floor; returning NaN "
+            f"(raise iters)")
+        return float("nan")
+    return net / iters
 
 
 def measure_hbm_bandwidth(nbytes: int = 1 << 28, iters: int = 30) -> float:
