@@ -165,3 +165,31 @@ def test_visushrink_constructors():
     assert isinstance(v2.th, w.SoftTH) and v2.t == 2.5
     assert issubclass(w.VisuShrink, w.DNFT)
     assert issubclass(w.ShannonEntropy, w.Entropy)
+
+
+def test_prune_device_matches_host_reference():
+    """prune_tree_device (production: on-device min-prune, packed-bit
+    fetch) must agree with the host reference prune_tree on random
+    entropy heaps and random admissible trees, including the heap-depth
+    edge cases."""
+    from wavelets_tpu.threshold.entropy import prune_tree, prune_tree_device
+    rng = np.random.default_rng(5)
+    for trial in range(120):
+        D = int(rng.integers(1, 7))
+        ntree = 2 ** D - 1
+        n_af = (ntree + 1) // 2
+        # random valid (orphan-free) tree: random active prefix depth,
+        # then random pruning from the bottom up
+        tree = np.zeros(ntree, dtype=bool)
+        tree[: 2 ** int(rng.integers(1, D + 1)) - 1] = True
+        drop = rng.random(ntree) < 0.3
+        for i in range(ntree):
+            if drop[i] or (i > 0 and not tree[(i - 1) // 2]):
+                tree[i] = False
+        bf = rng.random(ntree)
+        af = rng.random(n_af)
+        host = prune_tree(tree, bf, af, 1 << D)
+        levels = [jnp.asarray(bf[2 ** d - 1: 2 ** (d + 1) - 1])
+                  for d in range(D)]
+        dev = prune_tree_device(tree, levels, jnp.asarray(af))
+        assert np.array_equal(host, dev), (trial, D)

@@ -44,7 +44,7 @@ except ImportError:  # pragma: no cover
 from ..utils.indexing import maxtransformlevels
 from ..utils.trees import maketree, isvalidtree, treedepth
 from ..threshold.entropy import (Entropy, ShannonEntropy, _coef_terms,
-                                 prune_tree)
+                                 prune_tree_device)
 from ..threshold.denoise import VisuShrink, DEFAULT_WAVELET
 from ..threshold.ops import threshold as _threshold
 from ..ops.pallas.dwt1d import _level_jnp
@@ -163,12 +163,16 @@ def bestbasistree(y, wt: DiscreteWavelet, L: int | None = None,
             segs, NamedSharding(mesh, spec))
         x = _level_jnp(segs, wt, fw=True).reshape(n)
         x = lax.with_sharding_constraint(x, NamedSharding(mesh, P(axis_name)))
-    entr_bf = np.asarray(jnp.concatenate(entr_bf)) if entr_bf else np.zeros(0)
 
     n_af = 2 ** (Lmax - 1)
-    entr_af = np.asarray(_seg_entropies(x, et, nrm, n_af, mesh, axis_name))
+    entr_af = _seg_entropies(x, et, nrm, n_af, mesh, axis_name)
 
-    return prune_tree(np.asarray(tree, dtype=bool), entr_bf, entr_af, n)
+    # min-prune on device (packed-bit fetch) — after the psums the
+    # per-depth entropies are replicated, so the prune runs identically
+    # on every device; exactly threshold.entropy.bestbasistree's prune
+    out = prune_tree_device(np.asarray(tree, dtype=bool), entr_bf, entr_af)
+    assert isvalidtree(n, out)
+    return out
 
 
 def noisest(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, L: int = 1,

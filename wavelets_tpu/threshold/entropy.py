@@ -9,7 +9,9 @@ recursion over the tiny tree runs host-side on the fetched entropy vector.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,60 +76,168 @@ def bestbasistree(y, wt: DiscreteWavelet, L: int | None = None,
     if y.ndim != 1:
         raise ValueError("bestbasistree expects a 1-D signal")
     Lmax = maxtransformlevels(n)
+    ntree = 2 ** Lmax - 1
     if tree is None:
-        tree = maketree(n, Lmax if L is None else int(L), "full")
-    if not isvalidtree(n, tree):
-        raise ValueError("invalid tree")
+        # default full tree of depth L: the active prefix is STATIC, so
+        # no tree bits ever leave the host
+        active_L = Lmax if L is None else int(L)
+        if not (0 <= active_L <= Lmax):
+            raise ValueError(f"L={active_L} out of range (max {Lmax})")
+        packed = jnp.zeros((1,), jnp.uint8)        # unused placeholder
+        has_tree = False
+    else:
+        if not isvalidtree(n, tree):
+            raise ValueError("invalid tree")
+        active_L = Lmax
+        packed = jnp.asarray(np.packbits(
+            np.asarray(tree, dtype=bool), bitorder="little"))
+        has_tree = True
+    out_packed = np.asarray(_bbt_jit(y, packed, wt=wt, Lmax=Lmax, et=et,
+                                     active_L=active_L, has_tree=has_tree))
+    out_tree = np.unpackbits(out_packed, bitorder="little")[:ntree] \
+        .astype(bool)
+    assert isvalidtree(n, out_tree)
+    return out_tree
 
+
+def _unpack_bits(packed, nbits):
+    w = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[:, None] >> w) & jnp.uint8(1)
+    return bits.reshape(-1)[:nbits].astype(bool)
+
+
+def _pack_bits(flat):
+    pad = (-flat.shape[0]) % 8
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), bool)])
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    return jnp.sum(flat.reshape(-1, 8).astype(jnp.int32) * weights,
+                   axis=-1).astype(jnp.uint8)
+
+
+def _prune_core(entr_levels, entr_af, masks):
+    """Traced Coifman–Wickerhauser min-prune: per-depth before-entropy
+    arrays + bottom-node after-entropies + per-depth activity masks
+    (None = all active, False = all inactive) -> packed result bits.
+
+    The arithmetic runs in the entropy arrays' own dtype — exactly the
+    reference, which computes ``bestsubtree_entropy`` in T
+    (entropy.jl:112-129)."""
+    D = len(entr_levels)
+    best = jnp.minimum(entr_levels[-1], entr_af)
+    best_children = [entr_af]                 # children sums per depth
+    for d in range(D - 2, -1, -1):
+        child_sum = jnp.sum(best.reshape(-1, 2), axis=-1)
+        best_children.append(child_sum)
+        best = jnp.minimum(entr_levels[d], child_sum)
+    best_children.reverse()                   # [d] = children sums at d
+
+    # top-down: keep a split only if its before-entropy exceeds the
+    # cheapest children sum AND its parent stayed split
+    bits = []
+    parent_on = jnp.ones((1,), bool)
+    for d in range(D):
+        if masks[d] is False:                 # statically inactive depth
+            bits.append(jnp.zeros((2 ** d,), bool))
+            continue
+        on = parent_on & (entr_levels[d] > best_children[d])
+        if masks[d] is not None:
+            on = on & masks[d]
+        bits.append(on)
+        parent_on = jnp.broadcast_to(on[:, None], (on.shape[0], 2)) \
+            .reshape(-1)
+    return _pack_bits(jnp.concatenate(bits))
+
+
+@partial(jax.jit, static_argnames=("wt", "Lmax", "et", "active_L",
+                                   "has_tree"))
+def _bbt_jit(y, tree_packed, *, wt, Lmax, et, active_L, has_tree):
+    """The WHOLE best-basis search as one traced program: Lmax packet
+    levels + per-node entropies + min-prune + bit-pack, so one dispatch
+    enters the device and only the packed (2^Lmax - 1)-bit tree leaves
+    it.  The reference transforms and records ALL Lmax depths even for a
+    depth-limited tree (entropy.jl:58-81) and its min-prune sees the
+    full-depth best-subtree entropies (entropy.jl:112-129) — kept
+    exactly (a depth-capped walk gives a different, arguably
+    better-defined answer for limited trees; parity wins)."""
+    n = y.shape[0]
     nrm = jnp.linalg.norm(y)
     x = y
-    entr_bf = []
-    # per-depth: record segment entropies, then transform every segment one
-    # level (the reference transforms unconditionally while walking depths)
+    entr = []
     for d in range(Lmax):
-        nseg = 2 ** d
-        nj = n // nseg
-        segs = x.reshape(nseg, nj)
-        entr_bf.append(jnp.sum(_coef_terms(segs, et, nrm), axis=-1))
-        out = wpt_ops._level_fw(segs, wt)
-        x = out.reshape(n)
-    entr_bf = np.asarray(jnp.concatenate(entr_bf)) if entr_bf else np.zeros(0)
+        segs = x.reshape(2 ** d, n >> d)
+        entr.append(jnp.sum(_coef_terms(segs, et, nrm), axis=-1))
+        x = wpt_ops._level_fw(segs, wt).reshape(n)
+    entr_af = jnp.sum(_coef_terms(x.reshape(2 ** (Lmax - 1), -1), et, nrm),
+                      axis=-1)
+    if has_tree:
+        tb = _unpack_bits(tree_packed, 2 ** Lmax - 1)
+        masks = [tb[2 ** d - 1: 2 ** (d + 1) - 1] for d in range(Lmax)]
+    else:
+        masks = [None if d < active_L else False for d in range(Lmax)]
+    return _prune_core(entr, entr_af, masks)
 
-    # leaf entropies of the fully transformed signal
-    n_af = 2 ** (Lmax - 1)
-    segs = x.reshape(n_af, n // n_af)
-    entr_af = np.asarray(jnp.sum(_coef_terms(segs, et, nrm), axis=-1))
 
-    return prune_tree(np.asarray(tree, dtype=bool), entr_bf, entr_af, n)
+def prune_tree_device(tree: np.ndarray, entr_levels: list,
+                      entr_af) -> np.ndarray:
+    """Coifman–Wickerhauser min-prune computed ON DEVICE, fetching only
+    the packed result bits.
+
+    ``entr_levels`` — per-depth before-entropy arrays (device, length 2^d
+    at depth d); ``entr_af`` — bottom-depth node after-entropies (device,
+    length 2^(D-1)).  The prune arithmetic runs in the entropy arrays'
+    own dtype — exactly the reference, which computes
+    ``bestsubtree_entropy`` in T (entropy.jl:112-129) — and the
+    (2^D - 1)-node boolean heap leaves the device as packed uint8 bits
+    (32x fewer bytes than fetching the float heap; on a 2^20-sample
+    signal the heap is ~1M nodes, so the fetch is the dominant host cost
+    on thin host links).
+    """
+    D = len(entr_levels)
+    ntree = 2 ** D - 1
+    tb = _unpack_bits(jnp.asarray(np.packbits(
+        np.asarray(tree, dtype=bool), bitorder="little")), ntree)
+    masks = [tb[2 ** d - 1: 2 ** (d + 1) - 1] for d in range(D)]
+    packed = _prune_core(list(entr_levels), jnp.asarray(entr_af), masks)
+    return np.unpackbits(np.asarray(packed), bitorder="little")[:ntree] \
+        .astype(bool)
 
 
 def prune_tree(tree: np.ndarray, entr_bf: np.ndarray, entr_af: np.ndarray,
                n: int) -> np.ndarray:
     """Host-side Coifman–Wickerhauser bottom-up min-prune over the entropy
     heap (reference: entropy.jl:94-129).  ``entr_bf`` — per-node before-
-    entropies (heap order); ``entr_af`` — bottom-depth leaf entropies."""
+    entropies (heap order); ``entr_af`` — bottom-depth leaf entropies.
+
+    This is the host REFERENCE implementation; the production path is
+    ``prune_tree_device`` (same math on device, packed-bit fetch), and
+    the suite pins their equivalence."""
     ntree = len(tree)
     n_af = (ntree + 1) // 2
+    D = int(np.log2(ntree + 1))          # heap depth count
 
-    # bottom-up: cheapest achievable entropy of the subtree rooted at i
-    best = np.zeros(ntree)
-    for i in range(ntree - 1, -1, -1):
-        if 2 * i + 1 >= ntree:  # bottom depth: children are leaves
-            child_sum = entr_af[i - (n_af - 1)]
-        else:
-            child_sum = best[2 * i + 1] + best[2 * i + 2]
-        best[i] = min(entr_bf[i], child_sum)
+    # bottom-up: cheapest achievable entropy of the subtree rooted at i.
+    # Vectorized one depth layer at a time (a full 2^20-signal heap has
+    # ~1M nodes — per-node Python iteration dominated the whole search).
+    best = np.minimum(entr_bf[n_af - 1:], entr_af)      # bottom depth
+    levels = [best]
+    for d in range(D - 2, -1, -1):
+        lo, hi = 2 ** d - 1, 2 ** (d + 1) - 1
+        child_sum = levels[-1][0::2] + levels[-1][1::2]
+        levels.append(np.minimum(entr_bf[lo:hi], child_sum))
+    levels.reverse()                      # levels[d] = best at depth d
 
-    besttree = tree.copy()
-    for i in range(ntree):
-        parent_off = i > 0 and not besttree[(i - 1) // 2]
-        if parent_off or not tree[i]:
-            besttree[i] = False
+    # top-down: keep a node split only if its before-entropy exceeds the
+    # cheapest achievable children sum AND its parent stayed split
+    besttree = np.zeros(ntree, dtype=bool)
+    parent_on = np.ones(1, dtype=bool)
+    for d in range(D):
+        lo, hi = 2 ** d - 1, 2 ** (d + 1) - 1
+        if d == D - 1:
+            child_sum = entr_af
         else:
-            if 2 * i + 1 >= ntree:
-                child_sum = entr_af[i - (n_af - 1)]
-            else:
-                child_sum = best[2 * i + 1] + best[2 * i + 2]
-            besttree[i] = entr_bf[i] > child_sum
-    assert isvalidtree(n, besttree)
+            child_sum = levels[d + 1][0::2] + levels[d + 1][1::2]
+        on = parent_on & tree[lo:hi] & (entr_bf[lo:hi] > child_sum)
+        besttree[lo:hi] = on
+        parent_on = np.repeat(on, 2)
     return besttree

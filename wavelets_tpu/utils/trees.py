@@ -41,11 +41,14 @@ def isvalidtree(x, tree: np.ndarray) -> bool:
     if ns == 0:          # no factor of 2: the only valid tree is empty
         return True
     tree = np.asarray(tree, dtype=bool)
-    # internal nodes occupy [0, 2^(ns-1) - 1)
-    for i in range(2 ** (ns - 1) - 1):
-        if not tree[i] and (tree[2 * i + 1] or tree[2 * i + 2]):
-            return False
-    return True
+    # internal nodes occupy [0, 2^(ns-1) - 1); children of node i are
+    # 2i+1 / 2i+2, so tree[1:] pairs up as the child couples in order —
+    # vectorized (a 2^20-signal tree has ~0.5M internal nodes)
+    n_int = 2 ** (ns - 1) - 1
+    if n_int == 0:
+        return True
+    child_any = tree[1: 2 * n_int + 1].reshape(-1, 2).any(axis=1)
+    return bool(np.all(tree[:n_int] | ~child_any))
 
 
 def maketree(n: int, L: int | None = None, s: str = "full") -> np.ndarray:
