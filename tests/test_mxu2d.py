@@ -446,3 +446,66 @@ def test_plan_inv_tn_override_sanity_ceiling(monkeypatch):
     # a modest override within 2x of the gate is still honored
     monkeypatch.setenv("WAVELETS_TPU_MXU_INV_TN", "8192")
     assert M._plan_inv(16384, 16384, cdf, np.float32)[1] == 8192
+
+
+@pytest.mark.parametrize("blk", ["0", "16", "32", "64"])
+def test_mxu_col_blocked_matches_full(monkeypatch, blk):
+    """The block-shared column dot (WAVELETS_TPU_MXU_COLBLK) must be
+    numerically identical in structure to the full-width col dot up to
+    f32 reassociation of the same split dots, for every block size and
+    in both packed and quadrant modes."""
+    rng = np.random.default_rng(123)
+    x = rng.standard_normal((256, 512)).astype(np.float32)
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    outs = {}
+    for b in ("0", blk):
+        monkeypatch.setenv("WAVELETS_TPU_MXU_COLBLK", b)
+        with pltpu.force_tpu_interpret_mode():
+            q = [np.asarray(a) for a in
+                 M.mxu_level_fw_quads(jnp.asarray(x), wt)]
+            ll, y = M.mxu_level_fw_packed_first(jnp.asarray(x), wt)
+        outs[b] = (q, np.asarray(ll), np.asarray(y))
+    qd = max(np.abs(a - b_).max()
+             for a, b_ in zip(outs["0"][0], outs[blk][0]))
+    ld = np.abs(outs["0"][1] - outs[blk][1]).max()
+    ya, yb = outs["0"][2], outs[blk][2]
+    mh, nh = 128, 256
+    dd = max(np.abs(ya[:mh, nh:] - yb[:mh, nh:]).max(),
+             np.abs(ya[mh:, :] - yb[mh:, :]).max())
+    assert max(qd, ld, dd) < 1e-5, (blk, qd, ld, dd)
+
+
+def test_mxu_col_blocked_bf16(monkeypatch):
+    """bf16 rides the blocked col dot with native 1-pass dots."""
+    rng = np.random.default_rng(124)
+    x64 = rng.standard_normal((256, 512))
+    x = x64.astype(jnp.bfloat16)
+    wt = w.wt.wavelet(w.wt.db2)
+    monkeypatch.setenv("WAVELETS_TPU_MXU_COLBLK", "32")
+    ref = _ref_level(x64, wt)
+    with pltpu.force_tpu_interpret_mode():
+        ll, lh, hl, hh = M.mxu_level_fw_quads(jnp.asarray(x), wt)
+    got = np.block([[np.asarray(ll, np.float64), np.asarray(lh, np.float64)],
+                    [np.asarray(hl, np.float64), np.asarray(hh, np.float64)]])
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 0.05 * scale
+
+
+@pytest.mark.parametrize("blk", ["0", "16", "32"])
+def test_mxu_inv_col_blocked_matches_full(monkeypatch, blk):
+    """Blocked synthesis col dots must reproduce the full-width inverse
+    (quadrant and packed reads) to f32 reassociation."""
+    rng = np.random.default_rng(321)
+    x = rng.standard_normal((256, 512)).astype(np.float32)
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    outs = {}
+    with pltpu.force_tpu_interpret_mode():
+        qts = [jnp.asarray(np.asarray(a)) for a in
+               M.mxu_level_fw_quads(jnp.asarray(x), wt)]
+    for b in ("0", blk):
+        monkeypatch.setenv("WAVELETS_TPU_MXU_COLBLK", b)
+        with pltpu.force_tpu_interpret_mode():
+            outs[b] = np.asarray(M.mxu_inv_quads(*qts, wt))
+    assert np.abs(outs["0"] - outs[blk]).max() < 1e-5
+    # and the full round trip reconstructs x
+    assert np.abs(outs[blk] - x).max() < 2e-4

@@ -592,9 +592,48 @@ def _fw_quads_body_v3(ins, wr_ref, wc2_ref, *, tm, hm, mode, gl, m=_HN):
     return (Y[:tm2, :hf], Y[:tm2, hf:], Y[tm2:, :hf], Y[tm2:, hf:])
 
 
-def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, gl, m=_HN):
+def _col_blk() -> int:
+    """Block size q (in output POSITIONS) of the block-shared column dot.
+
+    The dense column weight burns K = tm + 2hm multiplies per output
+    element because the [a-rows | d-rows] quadrant split makes every
+    output read the whole extended tile.  But a block of 2q output rows
+    (q scaling + q detail POSITIONS) reads only ext rows
+    [2bq, 2(b+1)q + 2hm) — and by shift invariance every block shares
+    ONE (2q, 2q + 2hm) weight, which is exactly _w_col(wt, 2q, hm).  At
+    tm=128/hm=8/q=32 the col-dot K per element falls 144 -> 80 (the f32
+    split triples both), cutting the dominant MXU term of the headline's
+    compute bound.  0 disables (the round-3 full-width col dot).
+    Override with WAVELETS_TPU_MXU_COLBLK in {0, 16, 32, 64}; default
+    pending the device A/B (interpret-mode equivalence is pinned by
+    tests/test_mxu2d.py::test_mxu_col_blocked_*)."""
+    import os
+    return int(os.environ.get("WAVELETS_TPU_MXU_COLBLK", "0"))
+
+
+def _col_dot_blocked(wcq_pair, V_pair, *, mode, q, hm, tm, dt):
+    """Column transform as tm/(2q) block dots against the shared
+    (2q, 2q + 2hm) weight; returns Y (tm, tn) in quadrant row order
+    [a-rows | d-rows] (matching the full-width col dot)."""
+    V, (Vh, Vl) = V_pair
+    nb = tm // (2 * q)
+    ya, yd = [], []
+    for b in range(nb):
+        sl = slice(2 * b * q, 2 * (b + 1) * q + 2 * hm)
+        Vb = (V[sl], ((Vh[sl], Vl[sl]) if Vh is not None else (None, None)))
+        Yb = _dot_f32(wcq_pair, Vb, mode)      # (2q, tn) f32
+        ya.append(Yb[:q])
+        yd.append(Yb[q:])
+    return jnp.concatenate(ya + yd, axis=0).astype(dt)
+
+
+def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, gl, m=_HN, hm=None,
+                   blk=0):
     """Shared forward compute: 9 halo refs + weight refs -> the four
-    (tm/2, tn/2) quadrant tiles."""
+    (tm/2, tn/2) quadrant tiles.  With ``blk`` > 0 the column transform
+    runs as block-shared dots (see _col_blk) and ``wc_ref`` holds the
+    (2*blk, 2*blk + 2hm) shared block weight instead of the full
+    (tm, tm + 2hm) one."""
     nw, nn, ne, ww, cc, ee, sw, ss, se = ins
     top = jnp.concatenate([nw[:], nn[:], ne[:]], axis=1)
     mid = jnp.concatenate([ww[:], cc[:], ee[:]], axis=1)
@@ -620,22 +659,28 @@ def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, gl, m=_HN):
     # back to the array dtype (mixed-dtype dots don't lower)
     V = jnp.concatenate([S, D], axis=1).astype(ext.dtype)
 
-    Y = _dot_f32(_pair(wc_ref[:], mode), _pair(V, mode), mode)
-    Y = Y.astype(ext.dtype)
+    if blk:
+        Y = _col_dot_blocked(_pair(wc_ref[:], mode), _pair(V, mode),
+                             mode=mode, q=blk, hm=hm, tm=tm, dt=ext.dtype)
+    else:
+        Y = _dot_f32(_pair(wc_ref[:], mode), _pair(V, mode), mode)
+        Y = Y.astype(ext.dtype)
     tm2 = tm // 2
     half = V.shape[1] // 2
     return (Y[:tm2, :half], Y[:tm2, half:],
             Y[tm2:, :half], Y[tm2:, half:])
 
 
-def _quads_any_body(ins, wr_ref, wc_ref, *, tm, hm, mode, gl, m, body):
+def _quads_any_body(ins, wr_ref, wc_ref, *, tm, hm, mode, gl, m, body,
+                    blk=0):
     if body == "v3":
         return _fw_quads_body_v3(ins, wr_ref, wc_ref, tm=tm, hm=hm,
                                  mode=mode, gl=gl, m=m)
-    return _fw_quads_body(ins, wr_ref, wc_ref, tm=tm, mode=mode, gl=gl, m=m)
+    return _fw_quads_body(ins, wr_ref, wc_ref, tm=tm, mode=mode, gl=gl, m=m,
+                          hm=hm, blk=blk)
 
 
-def _mxu_kernel(*refs, tm, hm, mode, gl, m, body):
+def _mxu_kernel(*refs, tm, hm, mode, gl, m, body, blk=0):
     ins, wr_ref, wc_ref = refs[:9], refs[9], refs[10]
     outs = refs[11:]
     if body == "v2":
@@ -645,7 +690,8 @@ def _mxu_kernel(*refs, tm, hm, mode, gl, m, body):
                     gl=gl, m=m)
         return
     ll, lh, hl, hh = _quads_any_body(ins, wr_ref, wc_ref, tm=tm, hm=hm,
-                                     mode=mode, gl=gl, m=m, body=body)
+                                     mode=mode, gl=gl, m=m, body=body,
+                                     blk=blk)
     outs[0][:] = ll
     outs[1][:] = lh
     outs[2][:] = hl
@@ -660,6 +706,32 @@ def _w_col2(wt, tm, hm, dtype):
                            axis=1)
 
 
+def _pick_col_blk(tm: int, hm: int, body: str, dtype) -> int:
+    """Validated block size for the block-shared column dot (0 = off):
+    blocks must tile tm, slices must stay sublane-granule-aligned, and
+    q = tm/2 is the full-width dot itself (allowed — same math, smaller
+    weight).  Only the v1 body routes through it."""
+    if body != "v1":
+        return 0
+    q = min(_col_blk(), tm // 2)
+    from .common import halo_granule
+    g = halo_granule(dtype)
+    while q >= 8 and (tm % (2 * q) or (2 * q) % g):
+        q //= 2
+    return q if q >= 8 else 0
+
+
+def _fw_weights(wt, tm, hm, blk, body, dtype):
+    """(wr-builder input stays at the call sites) column weight for the
+    selected body: _w_col2 for v2/v3, the shared (2*blk, 2*blk + 2hm)
+    block for the blocked v1 col dot, the full (tm, tm + 2hm) otherwise."""
+    if body in ("v2", "v3"):
+        return _w_col2(wt, tm, hm, dtype)
+    if blk:
+        return _w_col(wt, 2 * blk, hm, dtype)
+    return _w_col(wt, tm, hm, dtype)
+
+
 def mxu_level_fw_quads(x, wt):
     """One forward 2-D level -> (ll, lh, hl, hh) via two banded matmuls."""
     m, n = x.shape
@@ -667,20 +739,21 @@ def mxu_level_fw_quads(x, wt):
     gl = _row_gl(tn)
     mr = _row_margin(wt)
     body = _mxu_body_version()
+    blk = _pick_col_blk(tm, hm, body, x.dtype)
     wr = _w_row(wt, x.dtype, gl, mr)
-    wc = (_w_col2 if body in ("v2", "v3") else _w_col)(wt, tm, hm, x.dtype)
+    wc = _fw_weights(wt, tm, hm, blk, body, x.dtype)
     qshape = jax.ShapeDtypeStruct((m // 2, n // 2), x.dtype)
     qspec = pl.BlockSpec((tm // 2, tn // 2), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
     in_specs = _halo_in_specs(m, n, tm, tn, hm, _HN) + [
         pl.BlockSpec(wr.shape, lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tm, tm + 2 * hm), lambda i, j: (0, 0),
+        pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
         partial(_mxu_kernel, tm=tm, hm=hm, mode=_mode_for(x.dtype), gl=gl,
-                m=mr, body=body),
+                m=mr, body=body, blk=blk),
         grid=(m // tm, n // tn),
         in_specs=in_specs,
         out_specs=(qspec,) * 4,
@@ -848,7 +921,7 @@ def mxu_inv_ok(ml: int, nl: int, wt, dtype) -> bool:
     return _plan_inv(ml, nl, wt, dtype) is not None
 
 
-def _mxu_inv_kernel(*refs, nj, mode, gl, m):
+def _mxu_inv_kernel(*refs, nj, mode, gl, m, hm2=None, blk=0):
     groups = [refs[9 * k: 9 * (k + 1)] for k in range(4)]
     wcs_ref, wcd_ref, wr_ref = refs[36], refs[37], refs[38]
     o_ref = refs[39]
@@ -864,12 +937,33 @@ def _mxu_inv_kernel(*refs, nj, mode, gl, m):
     wc_s = _pair(wcs_ref[:], mode)
     wc_d = _pair(wcd_ref[:], mode)
 
+    def _blocked_half(wc_pair, E_pair):
+        # block-shared synthesis col dot: output rows [2bq, 2bq + 2q)
+        # (q interleaved position pairs) read only ext rows
+        # [bq, bq + q + 2hm2), and every block shares the ONE
+        # (2q, q + 2hm2) weight (= _w_col_inv at tm=2q); K per output
+        # element falls from tm/2 + 2hm2 to q + 2hm2
+        Ea, (Eh, El) = E_pair
+        nb = (Ea.shape[0] - 2 * hm2) // blk     # = tm / (2*blk)
+        pieces = []
+        for b in range(nb):
+            sl = slice(b * blk, b * blk + blk + 2 * hm2)
+            Eb = (Ea[sl], ((Eh[sl], El[sl]) if Eh is not None
+                           else (None, None)))
+            pieces.append(_dot_f32(wc_pair, Eb, mode))
+        return pieces
+
     def col(ga, gb):
         # X = Wc_s @ ext(ga) + Wc_d @ ext(gb), the [s;d]-stacked column
         # dot split into its two row halves so the (2E, W) stacked copy
         # is never materialized and only ONE (E, W) extended operand
         # (+ its split pair) is live at a time.  Same FLOPs; the VMEM
         # headroom is what admits the tn=4096 tile ladder (_plan_inv).
+        if blk:
+            pa = _blocked_half(wc_s, _pair(ext(ga), mode))
+            pb = _blocked_half(wc_d, _pair(ext(gb), mode))
+            return jnp.concatenate(
+                [a + b for a, b in zip(pa, pb)], axis=0).astype(dt)
         Xa = _dot_f32(wc_s, _pair(ext(ga), mode), mode)
         Xb = _dot_f32(wc_d, _pair(ext(gb), mode), mode)
         return (Xa + Xb).astype(dt)
@@ -915,7 +1009,17 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
     gl = _row_gl(tn)
     mr = _row_margin(wt, fw=False)
     wr = _w_row_inv(wt, dt, gl, mr)
-    wc = _w_col_inv(wt, tm, hm2, dt)
+    # block-shared synthesis col dot (see _mxu_inv_kernel._blocked_half):
+    # blocks must tile tm and keep the ext slices granule-aligned
+    blk = _col_blk()
+    from .common import halo_granule
+    g = halo_granule(dt)
+    blk = min(blk, tm // 2)
+    while blk >= 8 and (tm % (2 * blk) or blk % g):
+        blk //= 2
+    if blk < 8:
+        blk = 0
+    wc = _w_col_inv(wt, 2 * blk if blk else tm, hm2, dt)
     E = wc.shape[1] // 2
     wcs, wcd = wc[:, :E], wc[:, E:]     # host-side split: no in-kernel
     in_specs += [                       # non-128-aligned lane slicing
@@ -925,7 +1029,7 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
     ]
     return pl.pallas_call(
         partial(_mxu_inv_kernel, nj=(tn // 2) // (gl // 2),
-                mode=_mode_for(dt), gl=gl, m=mr),
+                mode=_mode_for(dt), gl=gl, m=mr, hm2=hm2, blk=blk),
         grid=(ml // tm, nl // tn),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
@@ -970,7 +1074,7 @@ def mxu_packed_ok(m: int, n: int, wt, dtype) -> bool:
 
 
 def _fill_quads(ins, wr_ref, wc_ref, ll_ref, stash, *, tm, hm, mode, gl, m,
-                body):
+                body, blk=0):
     """Compute one tile's quadrants into ll_ref + the 3-slot stash."""
     if body == "v2":
         def emit(qd, c0, val):
@@ -982,14 +1086,15 @@ def _fill_quads(ins, wr_ref, wc_ref, ll_ref, stash, *, tm, hm, mode, gl, m,
                     gl=gl, m=m)
         return
     ll, lh, hl, hh = _quads_any_body(ins, wr_ref, wc_ref, tm=tm, hm=hm,
-                                     mode=mode, gl=gl, m=m, body=body)
+                                     mode=mode, gl=gl, m=m, body=body,
+                                     blk=blk)
     ll_ref[:] = ll
     stash[0] = lh
     stash[1] = hl
     stash[2] = hh
 
 
-def _mxu_packed_kernel(*refs, tm, hm, mode, gl, m, has_alias, body):
+def _mxu_packed_kernel(*refs, tm, hm, mode, gl, m, has_alias, body, blk=0):
     if has_alias:
         (ins, wr_ref, wc_ref, _yin, ll_ref, y_ref, stash) = (
             refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
@@ -1002,7 +1107,7 @@ def _mxu_packed_kernel(*refs, tm, hm, mode, gl, m, has_alias, body):
     @pl.when(q == 0)
     def _():
         _fill_quads(ins, wr_ref, wc_ref, ll_ref, stash, tm=tm, hm=hm,
-                    mode=mode, gl=gl, m=m, body=body)
+                    mode=mode, gl=gl, m=m, body=body, blk=blk)
 
     y_ref[:] = stash[q]
 
@@ -1021,12 +1126,13 @@ def _mxu_packed_call(active, y, yshape, wt):
 
     mr = _row_margin(wt)
     body = _mxu_body_version()
+    blk = _pick_col_blk(tm, hm, body, active.dtype)
     wr = _w_row(wt, active.dtype, gl, mr)
-    wc = (_w_col2 if body in ("v2", "v3") else _w_col)(wt, tm, hm, active.dtype)
+    wc = _fw_weights(wt, tm, hm, blk, body, active.dtype)
     in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
         pl.BlockSpec(wr.shape, lambda i, j, q: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tm, tm + 2 * hm), lambda i, j, q: (0, 0),
+        pl.BlockSpec(wc.shape, lambda i, j, q: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs = [active] * 9 + [wr, wc]
@@ -1038,7 +1144,7 @@ def _mxu_packed_call(active, y, yshape, wt):
     return pl.pallas_call(
         partial(_mxu_packed_kernel, tm=tm, hm=hm,
                 mode=_mode_for(active.dtype), gl=gl, m=mr,
-                has_alias=y is not None, body=body),
+                has_alias=y is not None, body=body, blk=blk),
         grid=(ml // tm, nl // tn, 3),
         in_specs=in_specs,
         out_specs=(
@@ -1071,7 +1177,7 @@ def _packed_dma() -> bool:
 
 
 def _mxu_packed_dma_kernel(*refs, tm, hm, mode, gl, m, has_alias, nbr, nbc,
-                           body):
+                           body, blk=0):
     if has_alias:
         (ins, wr_ref, wc_ref, _yin, ll_ref, y_ref, stash, sem) = (
             refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
@@ -1081,7 +1187,7 @@ def _mxu_packed_dma_kernel(*refs, tm, hm, mode, gl, m, has_alias, nbr, nbc,
             refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
             refs[14])
     _fill_quads(ins, wr_ref, wc_ref, ll_ref, stash, tm=tm, hm=hm, mode=mode,
-                gl=gl, m=m, body=body)
+                gl=gl, m=m, body=body, blk=blk)
     bm, bn = ll_ref.shape
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -1120,12 +1226,13 @@ def _mxu_packed_call_dma(active, y, yshape, wt):
     nbc = nl // tn
     mr = _row_margin(wt)
     body = _mxu_body_version()
+    blk = _pick_col_blk(tm, hm, body, active.dtype)
     wr = _w_row(wt, active.dtype, gl, mr)
-    wc = (_w_col2 if body in ("v2", "v3") else _w_col)(wt, tm, hm, active.dtype)
+    wc = _fw_weights(wt, tm, hm, blk, body, active.dtype)
     in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
         pl.BlockSpec(wr.shape, lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tm, tm + 2 * hm), lambda i, j: (0, 0),
+        pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs = [active] * 9 + [wr, wc]
@@ -1137,7 +1244,8 @@ def _mxu_packed_call_dma(active, y, yshape, wt):
     return pl.pallas_call(
         partial(_mxu_packed_dma_kernel, tm=tm, hm=hm,
                 mode=_mode_for(active.dtype), gl=gl, m=mr,
-                has_alias=y is not None, nbr=nbr, nbc=nbc, body=body),
+                has_alias=y is not None, nbr=nbr, nbc=nbc, body=body,
+                blk=blk),
         grid=(ml // tm, nl // tn),
         in_specs=in_specs,
         out_specs=(
