@@ -169,6 +169,7 @@ def main():
             rng.standard_normal((4096, 4096)).astype(dtype))
         _try("batched1d_4096x4096_L8_ms",
              lambda v: w.dwt(v, wdb4, 8, ndt=1), xb1)
+
         # y2 built inside a guard: if the forward trace/compile/dispatch
         # fails here, the secondary reads null instead of killing the
         # already-computed headline JSON (fail-soft, like every _try)
@@ -181,6 +182,53 @@ def main():
                  lambda v: _dwt_jit(v, wt, levels, 2, False), y2)
         else:
             out["idwt2_16k_L8_ms"] = None
+
+        # App metrics run LAST (and can be skipped with WAVELETS_TPU_BENCH_APPS=0):
+        # their graphs carry the largest fresh-compile risk on this
+        # platform, so a hang/wedge cannot cost the core numbers.
+        if os.environ.get("WAVELETS_TPU_BENCH_APPS") != "0":
+            # App-layer metrics (VERDICT r3 item 5): the tallest reference
+            # stacks, re-measured with the honest clock at every capture.
+            # TI denoise = noisest -> 16x (shift -> dwt L6 -> threshold ->
+            # idwt) on the 16k^2 image (reference denoising.jl:22-82);
+            # bestbasistree = 20 batched packet levels + on-device min-prune
+            # with a packed-bit fetch (entropy.jl:47-129) — its time includes
+            # the result fetch, which is part of the op (the tree is host
+            # data by contract).
+            _try("ti_denoise_16k_L6_16spin_ms",
+                 lambda v: w.denoise(v, wt, L=6, TI=True, nspin=(4, 4)),
+                 x, iters2=2)
+            _try("bestbasis_2e20_ms",
+                 lambda v: w.bestbasistree(v, wdb4), x1, iters2=3)
+            # sharded driver spot check on a 1-device mesh (the shard_map
+            # code path on real hardware; multi-device correctness is pinned
+            # by the virtual-mesh suite and the driver's dryrun)
+            def _sharded_dwt2(v):
+                from wavelets_tpu import parallel
+                return parallel.dwt2(v, wt, 8)
+            _try("sharded_dwt2_16k_L8_1dev_ms", _sharded_dwt2, x)
+
+    # Regression check vs the last committed driver capture (VERDICT r3
+    # item 7): normalize the headline Gs/s by each capture's own
+    # session-copy bandwidth (the shared-tenancy chip's weather), then
+    # flag a drop beyond 20%.  Informational field — the hard gate is
+    # `benchmarks/regression.py --gate` in CI.
+    try:
+        import glob
+        import re
+        arts = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        if arts and out.get("session_copy_bw_gbps") and out.get("value"):
+            last = json.load(open(arts[-1]))
+            if last.get("session_copy_bw_gbps") and last.get("value"):
+                ratio = ((out["value"] / out["session_copy_bw_gbps"])
+                         / (last["value"] / last["session_copy_bw_gbps"]))
+                out["headline_vs_last_artifact"] = round(ratio, 3)
+                out["last_artifact"] = re.sub(r".*/", "", arts[-1])
+                if ratio < 0.80:
+                    out["regression_flag"] = True
+    except Exception:
+        pass
 
     # NaN is not valid JSON — a below-floor reading (time_fn returns NaN)
     # must surface as null, never as a bare NaN token

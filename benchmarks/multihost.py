@@ -100,6 +100,77 @@ def worker(pid: int, port: int) -> None:
                                   mesh=mesh))
     assert abs(nref - ngot) < 1e-12 * max(1.0, abs(nref))
 
+    # ---- timed sections: per-level total vs halo-exchange-only --------
+    # The one measurement a virtual mesh cannot fake structurally: the
+    # same ppermute pattern the level bodies run, executed in isolation
+    # across the REAL process boundary, against the full level time.
+    # Absolute times are CPU-bound and the transport is loopback TCP, so
+    # this is a comm-PATTERN cost + comm-fraction structure record (the
+    # projection basis for BASELINE's >=90% 2-host weak-scaling claim),
+    # not hardware truth.  Both workers execute (collectives); worker 0
+    # reports.
+    import time as _time
+    from functools import partial as _partial
+    from jax import lax
+    from wavelets_tpu.parallel import sharded as S
+
+    n = 2048
+    L = 6
+    nd = mesh.shape["x"]
+    xt = rng.standard_normal((n, n))
+    halo = S._halo_rows(wl)
+    nsteps = len(wl.steps)
+
+    def _timeit(f, *a, iters=4):
+        r = f(*a)
+        jax.block_until_ready(r)          # honest on CPU
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            r = f(*a)
+        jax.block_until_ready(r)
+        return (_time.perf_counter() - t0) / iters
+
+    # comm probe: the level body's halo pattern in isolation — per
+    # lifting step one (prev, next) ring-ppermute pair of `halo` rows
+    # (matching _lift_steps_axis0), consumed by a sum
+    def _comm_body(blk):
+        acc = jnp.zeros((), blk.dtype)
+        for _ in range(nsteps):
+            up = S._ring_from_prev(blk, min(halo, blk.shape[0]), "x", nd)
+            dn = S._ring_from_next(blk, min(halo, blk.shape[0]), "x", nd)
+            acc = acc + jnp.sum(up[:1]) + jnp.sum(dn[:1])
+        return acc[None]      # per-device scalar (no extra collective)
+
+    spec = P("x", None)
+    levels = []
+    for lvl in range(1, L + 1):
+        rows = n >> (lvl - 1)
+        if not S._can_shard(rows, nd, halo):
+            break
+        xl = global_array(xt[:rows, :rows].copy(), spec)
+        t_level = _timeit(lambda v: parallel.dwt2(v, wl, 1, mesh), xl)
+        try:
+            from jax import shard_map as _shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map as _shard_map
+        comm = jax.jit(_shard_map(_comm_body, mesh=mesh, in_specs=(spec,),
+                                  out_specs=P("x")))
+        t_comm = _timeit(comm, xl)
+        levels.append({"level": lvl, "rows": rows,
+                       "t_level_ms": round(t_level * 1e3, 3),
+                       "t_halo_only_ms": round(t_comm * 1e3, 3),
+                       "comm_fraction": round(t_comm / t_level, 4)})
+    if pid == 0:
+        tot = sum(d["t_level_ms"] for d in levels)
+        ctot = sum(d["t_halo_only_ms"] for d in levels)
+        print("TIMING " + json.dumps({
+            "op": "cdf97 lifting dwt2, per-level, 2-process mesh",
+            "n": n, "dtype": "float64", "transport": "loopback TCP "
+            "(gRPC DCN path; absolute times are oversubscribed-CPU-bound)",
+            "levels": levels,
+            "pyramid_comm_fraction": round(ctot / tot, 4) if tot else None,
+        }), flush=True)
+
     print(f"MULTIHOST WORKER {pid} OK", flush=True)
 
 
@@ -124,6 +195,13 @@ def parent() -> int:
                "devices_per_process": 4,
                "checks": ["dwt2/idwt2", "dwt2 zeropad", "dwt1",
                           "bestbasistree (psum)", "noisest"]}
+    for o in outs:   # worker 0's timed sections (comm-vs-compute)
+        for ln in o.splitlines():
+            if ln.startswith("TIMING "):
+                try:
+                    verdict["timing"] = json.loads(ln[len("TIMING "):])
+                except json.JSONDecodeError:
+                    pass
     print(json.dumps(verdict))
     if not ok:
         for i, o in enumerate(outs):
