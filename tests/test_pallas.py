@@ -289,3 +289,68 @@ def test_batched_2d_vmap_uses_quadrant_mode():
                 jnp.asarray(x)))
     assert np.abs(a - ref).max() < 1e-4
     assert np.abs(b - ref).max() < 1e-4
+
+
+@pytest.mark.parametrize("wname,kind", [
+    ("db4", "filter"), ("cdf97", "lifting"),
+])
+def test_pallas_wide_mxu_body_f32(wname, kind, monkeypatch):
+    """The MXU-dot per-level wide body (WAVELETS_TPU_WIDE_MXU=1) must
+    match the f64 engine and the default VPU-chain body at f32 — the
+    formulation that unlocks bf16 (no lane rotates)."""
+    monkeypatch.setenv("WAVELETS_TPU_WIDE_MXU", "1")
+    from wavelets_tpu.ops.pallas import wide1d as W1
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    rng = np.random.default_rng(83)
+    n = 1 << 14
+    x = rng.standard_normal(n).astype(np.float32)
+    assert W1._fold(n, wt, np.float32) is not None
+    ref = np.asarray(w.dwt(x.astype(np.float64),
+                           w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind), 3))
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(W1.dwt1d_wide_nopyr(jnp.asarray(x), wt, 3))
+        xr = np.asarray(W1.idwt1d_wide_nopyr(jnp.asarray(y), wt, 3))
+    assert np.abs(y - ref).max() < 1e-4
+    assert np.abs(xr - x).max() < 1e-4
+
+
+@pytest.mark.parametrize("wname,kind", [
+    ("db4", "filter"), ("cdf97", "lifting"),
+])
+def test_pallas_wide_mxu_body_bf16(wname, kind):
+    """bf16 per-level wide fold rides the MXU-dot kernels (the last
+    bf16 XLA fallback, VERDICT r3 item 3); tolerance is the dtype's own
+    epsilon class vs the f64 engine.  Also covers the batched (B, n)
+    WPT shallow-depth route at bf16."""
+    from wavelets_tpu.ops.pallas import wide1d as W1
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+    rng = np.random.default_rng(84)
+    n = 1 << 14
+    assert W1._fold(n, wt, jnp.bfloat16) is not None
+    assert W1.wide_ok(n, wt, 2, jnp.bfloat16)
+    x = rng.standard_normal(n).astype(jnp.bfloat16)
+    ref = np.asarray(w.dwt(np.asarray(x, np.float64),
+                           w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind), 2))
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(W1.dwt1d_wide_nopyr(jnp.asarray(x), wt, 2),
+                       np.float32)
+        xr = np.asarray(W1.idwt1d_wide_nopyr(jnp.asarray(y, jnp.bfloat16),
+                                             wt, 2), np.float32)
+    scale = np.abs(ref).max()
+    assert np.abs(y - ref).max() < 0.04 * scale
+    assert np.abs(xr - np.asarray(x, np.float32)).max() < 0.06 * scale
+    # batched segments: the ring must wrap within each segment
+    for B in (2, 4):
+        xb = rng.standard_normal((B, n)).astype(jnp.bfloat16)
+        refb = np.stack([np.asarray(w.dwt(np.asarray(xb[i], np.float64),
+                                          w.wt.wavelet(
+                                              w.wt.ALL_CLASSES[wname], kind),
+                                          1)) for i in range(B)])
+        with pltpu.force_tpu_interpret_mode():
+            s, d = W1._level_wide_b(jnp.asarray(xb), wt, True)
+            yb = np.concatenate([np.asarray(s, np.float32),
+                                 np.asarray(d, np.float32)], axis=-1)
+            xrb = np.asarray(W1._level_wide_b((s, d), wt, False), np.float32)
+        assert np.abs(yb - refb).max() < 0.04 * np.abs(refb).max(), (wname, B)
+        assert np.abs(xrb - np.asarray(xb, np.float32)).max() \
+            < 0.06 * np.abs(refb).max(), (wname, B)

@@ -137,13 +137,13 @@ def test_user_vmap_routes_alias_free(monkeypatch):
 
 def test_pyramid_bf16(monkeypatch):
     """bfloat16 single wide signals ride the pyramid stages (native MXU
-    dots, no lane rotates); the per-level wide FOLD stays f32-only (its
-    lane-roll/butterfly kernels crash this toolchain at bf16 — the
-    documented negative result), so wide_ok must route bf16 via pyr_ok."""
+    dots, no lane rotates); the per-level wide fold rides the same
+    MXU-dot formulation (round 4 — the VPU lane-roll body, which crashes
+    this toolchain at bf16, is never selected for 16-bit dtypes)."""
     from wavelets_tpu.ops.pallas import wide1d as W1
     wt = _wt("cdf97", "lifting")
     n, L = 1 << 14, 4
-    assert W1._fold(n, wt, jnp.bfloat16) is None          # fold: f32 only
+    assert W1._fold(n, wt, jnp.bfloat16) is not None      # MXU-dot fold
     assert PY.plan_stages(n, wt, L, jnp.bfloat16)         # pyramid: ok
     assert W1.wide_ok(n, wt, L, jnp.bfloat16)             # routed via pyr
     rng = np.random.default_rng(21)

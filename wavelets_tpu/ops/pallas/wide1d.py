@@ -130,8 +130,60 @@ def _inv_kernel(st_, sc_, sb_, dt_, dc_, db_, o_ref, *, wt, h):
     o_ref[:] = v[_HALO: _HALO + tm]
 
 
-def _fold(n: int, wt, dtype) -> tuple[int, int, int] | None:
-    """(R, C, tm) fold plan for a length-n signal, or None."""
+def _use_mxu_wide(dtype) -> bool:
+    """Body choice for the per-level wide fold.
+
+    bf16 MUST use the MXU-dot body: the VPU chain's lane rotates crash
+    this toolchain's TPU runtime at 16-bit dtypes (the standing negative
+    result, BENCHMARKS.md), while the dot body is sublane-rolls + MXU
+    dots only — the same formulation the pyramid stages device-validated
+    at bf16 in round 3.  f32 keeps the measured VPU chain by default;
+    WAVELETS_TPU_WIDE_MXU=1 switches it for the device A/B."""
+    import os
+    if np.dtype(dtype) == np.dtype(jnp.bfloat16):
+        return True
+    return os.environ.get("WAVELETS_TPU_WIDE_MXU") == "1"
+
+
+def _fold_mxu(n: int, wt, dtype):
+    """(R, C, tm, m) fold plan for the MXU-dot per-level body, or None.
+
+    Mirrors pyramid1d._stage_plan's constraints (same halo ring, same
+    shared fw/inv margin) at stage depth 1."""
+    from .mxu2d import _band_reach, _syn_reach, _mxu_dtype_ok, _row_margin
+    if not _mxu_dtype_ok(dtype):
+        return None
+    lo, hi = _band_reach(wt)
+    lo2, hi2 = _syn_reach(wt)
+    if max(lo, hi, lo2, hi2) > 120:
+        return None
+    # one margin serves analysis and synthesis (fw/inv folds must match)
+    m = _row_margin(wt, fw=False)
+    for C in (2048, 1024, 512):
+        # the inverse lane-extends the (R, C/2) band folds by m each side
+        if n % C or 2 * m > C // 2:
+            continue
+        R = n // C
+        if R < 32 or R % 16:
+            continue
+        # VMEM: ~6 live (2*_HALO + tm, C + 2m) temps (pyramid's budget)
+        budget = ((11 << 20) // np.dtype(dtype).itemsize // 6
+                  // (C + 2 * m) - 2 * _HALO)
+        tm = 128
+        while tm > 16 and (R % tm or tm > budget):
+            tm //= 2
+        if R % tm or tm % 16 or tm > budget:
+            continue
+        return R, C, tm, m
+    return None
+
+
+def _fold(n: int, wt, dtype) -> tuple | None:
+    """Fold plan for a length-n signal, or None.  Routes to the MXU-dot
+    body's plan (bf16 always; f32 on WAVELETS_TPU_WIDE_MXU=1) or the VPU
+    chain's (R, C, tm) plan (f32 default)."""
+    if _use_mxu_wide(dtype):
+        return _fold_mxu(n, wt, dtype)
     if np.dtype(dtype) != np.dtype(np.float32):
         return None
     h = roundup(_lane_reach(wt), 2)
@@ -184,6 +236,77 @@ def _halo_specs_b(C: int, tm: int, nbs: int):
     ]
 
 
+def _mxu_fw_kernel_w(up, cc, dn, wr_ref, s_ref, d_ref, *, m, tm, mode):
+    """One analysis level on the fold via the pyramid's banded window
+    dots (no lane rotates — the bf16-safe body)."""
+    from .pyramid1d import _dots_fw
+    from .mxu2d import _pair
+    act = jnp.concatenate([up[:], cc[:], dn[:]], axis=0)
+    s, d = _dots_fw(act, _pair(wr_ref[:], mode), m, mode)
+    s_ref[:] = s[_HALO: _HALO + tm]
+    d_ref[:] = d[_HALO: _HALO + tm]
+
+
+def _mxu_inv_kernel_w(st_, sc_, sb_, dt_, dc_, db_, wi_ref, o_ref, *,
+                      m, tm, mode):
+    from .pyramid1d import _dots_inv
+    from .mxu2d import _pair
+    s = jnp.concatenate([st_[:], sc_[:], sb_[:]], axis=0)
+    d = jnp.concatenate([dt_[:], dc_[:], db_[:]], axis=0)
+    v = _dots_inv(s, d, _pair(wi_ref[:], mode), m, mode)
+    o_ref[:] = v[_HALO: _HALO + tm]
+
+
+def _level_wide_b_mxu(x, wt, fw: bool):
+    """MXU-dot body of :func:`_level_wide_b` (same contract)."""
+    from .mxu2d import _w_row, _w_row_inv, _mode_for
+    from .pyramid1d import _GL
+    if fw:
+        B, n = x.shape
+        dtype = x.dtype
+    else:
+        B, nh = x[0].shape
+        n = 2 * nh
+        dtype = x[0].dtype
+    R, C, tm, m = _fold_mxu(n, wt, dtype)
+    nbs = R // _HALO
+    mode = _mode_for(dtype)
+    if fw:
+        wr = _w_row(wt, dtype, _GL, m)
+        half_spec = pl.BlockSpec((tm, C // 2), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        folded = x.reshape(B * R, C)
+        s, d = pl.pallas_call(
+            partial(_mxu_fw_kernel_w, m=m, tm=tm, mode=mode),
+            grid=(B * R // tm,),
+            in_specs=_halo_specs_b(C, tm, nbs) + [
+                pl.BlockSpec(wr.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=(half_spec, half_spec),
+            out_shape=(jax.ShapeDtypeStruct((B * R, C // 2), dtype),
+                       jax.ShapeDtypeStruct((B * R, C // 2), dtype)),
+            compiler_params=_sem(1),
+        )(folded, folded, folded, wr)
+        return s.reshape(B, n // 2), d.reshape(B, n // 2)
+    s, d = x
+    wi = _w_row_inv(wt, dtype, _GL, m)
+    sh = s.reshape(B * R, C // 2)
+    dh = d.reshape(B * R, C // 2)
+    hs = _halo_specs_b(C // 2, tm, nbs)
+    out = pl.pallas_call(
+        partial(_mxu_inv_kernel_w, m=m, tm=tm, mode=mode),
+        grid=(B * R // tm,),
+        in_specs=hs + hs + [
+            pl.BlockSpec(wi.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tm, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * R, C), dtype),
+        compiler_params=_sem(1),
+    )(sh, sh, sh, dh, dh, dh, wi)
+    return out.reshape(B, n)
+
+
 def _level_wide_b(x, wt, fw: bool):
     """One level on a (B, n) batch of independent periodic signals via
     the folded kernels (B == 1 is the plain wide path; WPT's shallow
@@ -197,6 +320,8 @@ def _level_wide_b(x, wt, fw: bool):
         B, nh = x[0].shape
         n = 2 * nh
         dtype = x[0].dtype
+    if _use_mxu_wide(dtype):
+        return _level_wide_b_mxu(x, wt, fw)
     R, C, tm = _fold(n, wt, dtype)
     h = roundup(_lane_reach(wt), 2)
     nbs = R // _HALO
