@@ -153,3 +153,19 @@ def test_bestbasistree_non_pow2_mesh():
     ref = w.bestbasistree(jnp.asarray(x), wt)
     got = parallel.bestbasistree(jnp.asarray(x), wt, mesh=mesh)
     assert np.array_equal(ref, got)
+
+
+@pytest.mark.slow
+def test_sharded_modwt_gather_frac_override(monkeypatch):
+    """The measured halo->all_gather switch point is env-overridable
+    (WAVELETS_TPU_MODWT_GATHER_FRAC, benchmarks/ab/modwt_gather.py):
+    forcing an early gather (frac=0.1 -> levels 2+ gather) must match
+    the single-device engine exactly."""
+    monkeypatch.setenv("WAVELETS_TPU_MODWT_GATHER_FRAC", "0.1")
+    mesh = _mesh()
+    wt = w.wt.wavelet(w.wt.db4)
+    rng = np.random.default_rng(97)
+    x = rng.standard_normal(256)
+    ref = np.asarray(w.modwt(jnp.asarray(x), wt, 4))
+    got = np.asarray(parallel.modwt(jnp.asarray(x), wt, 4, mesh=mesh))
+    assert np.abs(ref - got).max() < 1e-10

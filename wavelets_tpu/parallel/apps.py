@@ -308,20 +308,39 @@ def iwpt(y, wt: DiscreteWavelet, tree=None, L: int | None = None,
 
 # --- sharded MODWT -----------------------------------------------------------
 
+def _modwt_gather_frac() -> float:
+    """Halo->all_gather switch point of the sharded MODWT: gather when
+    h_need >= frac * loc.  frac = 1.0 is the structural bound (a halo
+    spanning more than one neighbor chunk would need chained ppermutes);
+    frac < 1 gathers earlier.  Default measured on the 2-process mesh
+    (benchmarks/ab/modwt_gather.py): the halo variant stays cheaper than
+    the gather variant at every ratio it can reach — per-level time is
+    flat in h_need/loc while the gather level pays the full-band
+    replication AND nd x the tap compute — so the structural bound IS
+    the measured optimum (BENCHMARKS.md round-4).  Env override:
+    WAVELETS_TPU_MODWT_GATHER_FRAC in (0, 1]."""
+    import os
+    return float(os.environ.get("WAVELETS_TPU_MODWT_GATHER_FRAC", "1.0"))
+
+
 def _modwt_level_body(v, taps_list, dil: int, sign: int, axis: str,
-                      nd: int, N: int):
+                      nd: int, N: int, gather: bool | None = None):
     """One dilated periodic correlation per taps vector, on the local
     chunk with explicit halo handling.
 
     MODWT's halo GROWS with level (2^(j-1) * (flen-1), SURVEY §5): while
     it fits in one neighbor chunk the wrap is a single ppermute; beyond
     that the undecimated band is all-gathered and the local slice
-    computed from the replicated array (the SURVEY-prescribed switch)."""
+    computed from the replicated array (the SURVEY-prescribed switch).
+    ``gather`` forces the variant (A/B hook); None applies the measured
+    policy (_modwt_gather_frac)."""
     loc = v.shape[0]
     flen = max(len(t) for t in taps_list)
     h_need = (flen - 1) * dil
+    if gather is None:
+        gather = h_need >= _modwt_gather_frac() * loc
 
-    if h_need < loc:
+    if not gather and h_need < loc:
         if sign < 0:     # reads v[t - k*dil]: halo from the PREV device
             perm = [(jd, (jd + 1) % nd) for jd in range(nd)]
             halo = lax.ppermute(v[loc - h_need:], axis, perm=perm)
