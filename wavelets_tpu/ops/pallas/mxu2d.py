@@ -592,7 +592,7 @@ def _fw_quads_body_v3(ins, wr_ref, wc2_ref, *, tm, hm, mode, gl, m=_HN):
     return (Y[:tm2, :hf], Y[:tm2, hf:], Y[tm2:, :hf], Y[tm2:, hf:])
 
 
-def _col_blk() -> int:
+def _col_blk(dtype=None, fw: bool = True) -> int:
     """Block size q (in output POSITIONS) of the block-shared column dot.
 
     The dense column weight burns K = tm + 2hm multiplies per output
@@ -602,13 +602,25 @@ def _col_blk() -> int:
     [2bq, 2(b+1)q + 2hm) — and by shift invariance every block shares
     ONE (2q, 2q + 2hm) weight, which is exactly _w_col(wt, 2q, hm).  At
     tm=128/hm=8/q=32 the col-dot K per element falls 144 -> 80 (the f32
-    split triples both), cutting the dominant MXU term of the headline's
-    compute bound.  0 disables (the round-3 full-width col dot).
-    Override with WAVELETS_TPU_MXU_COLBLK in {0, 16, 32, 64}; default
-    pending the device A/B (interpret-mode equivalence is pinned by
-    tests/test_mxu2d.py::test_mxu_col_blocked_*)."""
+    split triples both).  0 disables (the round-3 full-width col dot).
+
+    Round-4 device A/B (benchmarks/ab/col_blk.py, 638 GB/s session):
+    the FLOP cut is real but the blocked dots' narrow M (2q rows vs the
+    128-row MXU) costs matching efficiency, so f32 is FLAT everywhere
+    (fw 4.46 -> 4.34 ms at best, inv 7.41 -> 7.44) and bf16 forward is
+    already at the DMA floor (+0.03 ms) — but the bf16 INVERSE wins big:
+    6.12 -> 3.82 ms at q=32 (device-exact vs q=0).  Defaults from that
+    data: inverse bf16 -> 32, all else -> 0.  Override with
+    WAVELETS_TPU_MXU_COLBLK in {0, 16, 32, 64} (interpret-mode
+    equivalence pinned by tests/test_mxu2d.py::test_mxu_col_blocked_*)."""
     import os
-    return int(os.environ.get("WAVELETS_TPU_MXU_COLBLK", "0"))
+    ov = os.environ.get("WAVELETS_TPU_MXU_COLBLK")
+    if ov is not None:
+        return int(ov)
+    if (not fw and dtype is not None
+            and np.dtype(dtype) == np.dtype(jnp.bfloat16)):
+        return 32
+    return 0
 
 
 def _col_dot_blocked(wcq_pair, V_pair, *, mode, q, hm, tm, dt):
@@ -706,14 +718,23 @@ def _w_col2(wt, tm, hm, dtype):
                            axis=1)
 
 
-def _pick_col_blk(tm: int, hm: int, body: str, dtype) -> int:
+def _pick_col_blk(tm: int, hm: int, body: str, dtype,
+                  packed: bool = False) -> int:
     """Validated block size for the block-shared column dot (0 = off):
     blocks must tile tm, slices must stay sublane-granule-aligned, and
     q = tm/2 is the full-width dot itself (allowed — same math, smaller
-    weight).  Only the v1 body routes through it."""
+    weight).  Only the v1 body routes through it.
+
+    HARD GATE (not overridable): the packed path with f32 split dots
+    miscompiles on this toolchain with blk > 0 — device output carries
+    non-finite garbage in the stash-streamed quadrants while interpret
+    mode and the quads path are exact (benchmarks/ab/col_blk_debug.py,
+    round 4).  bf16 packed is device-exact and stays eligible."""
     if body != "v1":
         return 0
-    q = min(_col_blk(), tm // 2)
+    if packed and _mode_for(dtype) in ("split3", "split3cat"):
+        return 0
+    q = min(_col_blk(dtype, fw=True), tm // 2)
     from .common import halo_granule
     g = halo_granule(dtype)
     while q >= 8 and (tm % (2 * q) or (2 * q) % g):
@@ -1011,7 +1032,7 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
     wr = _w_row_inv(wt, dt, gl, mr)
     # block-shared synthesis col dot (see _mxu_inv_kernel._blocked_half):
     # blocks must tile tm and keep the ext slices granule-aligned
-    blk = _col_blk()
+    blk = _col_blk(dt, fw=False)
     from .common import halo_granule
     g = halo_granule(dt)
     blk = min(blk, tm // 2)
@@ -1126,7 +1147,7 @@ def _mxu_packed_call(active, y, yshape, wt):
 
     mr = _row_margin(wt)
     body = _mxu_body_version()
-    blk = _pick_col_blk(tm, hm, body, active.dtype)
+    blk = _pick_col_blk(tm, hm, body, active.dtype, packed=True)
     wr = _w_row(wt, active.dtype, gl, mr)
     wc = _fw_weights(wt, tm, hm, blk, body, active.dtype)
     in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
@@ -1226,7 +1247,7 @@ def _mxu_packed_call_dma(active, y, yshape, wt):
     nbc = nl // tn
     mr = _row_margin(wt)
     body = _mxu_body_version()
-    blk = _pick_col_blk(tm, hm, body, active.dtype)
+    blk = _pick_col_blk(tm, hm, body, active.dtype, packed=True)
     wr = _w_row(wt, active.dtype, gl, mr)
     wc = _fw_weights(wt, tm, hm, blk, body, active.dtype)
     in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
