@@ -106,6 +106,17 @@ def main():
     bw = 2 * x.size * np.dtype(dtype).itemsize / dt_copy / 1e9
     sol = (2 * x.size * np.dtype(dtype).itemsize * (4 / 3)) / (bw * 1e9)
 
+    # Chained-dispatch RTT probe: each chained jit call costs a host
+    # enqueue that varies by SESSION (0.6-3 ms observed); big ops hide
+    # it under device compute, small-op secondaries below read it as a
+    # floor.  Recording it makes captures comparable across weather
+    # (round 4: a 2.8 ms/iter session inflated every small secondary).
+    try:
+        tiny = jax.device_put(np.ones((8, 128), np.float32))
+        out_dispatch = round(time_fn(copy, tiny, 20) * 1e3, 3)
+    except Exception:
+        out_dispatch = None
+
     gsps = size * size / dt / 1e9
     out = {
         "metric": f"2d_cdf97_lifting_dwt_L{levels}_{size}x{size}_{np.dtype(dtype).name}",
@@ -113,6 +124,7 @@ def main():
         "unit": "Gsamples/s",
         "vs_baseline": round(gsps / BASELINE_GSPS, 2),
         "session_copy_bw_gbps": round(bw, 1),
+        "session_dispatch_ms": out_dispatch,
         "sol_fraction": round(sol / dt, 3),
     }
 

@@ -69,11 +69,17 @@ def level1_sweep(x32, xb, fl32, flb):
     refs = {}
     for q in (0, 16, 32, 64):
         for xx, big, fl, tag in ((s32, x32, fl32, "f32"), (sb, xb, flb, "bf16")):
-            # forward: packed-first level (the headline's level-1 body)
+            # forward: packed-first level (the headline's level-1 body).
+            # NOTE: compare only the WRITTEN detail regions — the LL
+            # quadrant of a fresh packed-first buffer is never written
+            # (uninitialized HBM; comparing it produced the round-4
+            # phantom-miscompile artifact).
             try:
                 f = with_q(q, lambda: jax.jit(
                     lambda v: mxu2d.mxu_level_fw_packed_first(v, wt)[1]))
                 ys = np.asarray(f(xx), np.float32)
+                hq, wq = ys.shape[0] // 2, ys.shape[1] // 2
+                ys[:hq, :wq] = 0.0
                 err = (0.0 if (tag, "fw") not in refs
                        else float(np.max(np.abs(ys - refs[(tag, "fw")]))))
                 refs.setdefault((tag, "fw"), ys)

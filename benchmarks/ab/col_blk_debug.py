@@ -1,6 +1,13 @@
 """Device repro for the forward COLBLK NaN (col_blk.py round-4 finding):
 interpret mode is exact for q in {16,32,64} but the device output carries
-NaN/inf.  Localize: quads path vs packed path, which quadrant, which rows."""
+NaN/inf.  Localize: quads path vs packed path, which quadrant, which rows.
+
+RESOLUTION (round 4): the 'NaN' was a comparison artifact, not a
+miscompile — mxu_level_fw_packed_first never writes the LL quadrant of
+the fresh packed buffer (deeper levels or the closing update fill it),
+so the probe compared uninitialized HBM.  The localization below showed
+exactly that: all non-finite entries confined to the LL region, the
+quads path exact.  The packed comparisons now mask the LL quadrant."""
 import os
 import sys
 
@@ -39,10 +46,11 @@ for q in (0, 16, 32):
         except Exception as e:
             print(f"quads  {tag:4s} q={q:2d}: FAILED {type(e).__name__}: "
                   f"{str(e)[:120]}", flush=True)
-        # packed path
+        # packed path (LL quadrant masked — never written by this call)
         try:
             g = jax.jit(lambda v: mxu2d.mxu_level_fw_packed_first(v, wt)[1])
             y = np.asarray(g(xx), np.float32)
+            y[: y.shape[0] // 2, : y.shape[1] // 2] = 0.0
             nf = ~np.isfinite(y)
             rowband = np.where(nf.any(axis=1))[0]
             colband = np.where(nf.any(axis=0))[0]

@@ -506,6 +506,35 @@ def test_mxu_inv_col_blocked_matches_full(monkeypatch, blk):
         monkeypatch.setenv("WAVELETS_TPU_MXU_COLBLK", b)
         with pltpu.force_tpu_interpret_mode():
             outs[b] = np.asarray(M.mxu_inv_quads(*qts, wt))
-    assert np.abs(outs["0"] - outs[blk]).max() < 1e-5
+    # 3e-5: the blocked dots run plain split3 (not split3cat — see
+    # _blk_mode), a different f32 reassociation of the same terms
+    assert np.abs(outs["0"] - outs[blk]).max() < 3e-5
     # and the full round trip reconstructs x
     assert np.abs(outs[blk] - x).max() < 2e-4
+
+
+def test_mxu_packed_last_level_streams_ll():
+    """The final packed level streams ll into the buffer in-kernel
+    (mxu_level_fw_packed_last) — no closing dynamic_update_slice.  L=1
+    (the y=None path) and L=3 (alias-chained path) must match quadrant
+    mode at the established inter-mode tolerance and round-trip — a
+    misplaced or unwritten ll block fails both loudly."""
+    rng = np.random.default_rng(93)
+    x = rng.standard_normal((256, 512)).astype(np.float32)
+    from wavelets_tpu.ops.pallas import filter2d as F
+    for dt_, tol in ((np.float32, 2e-4), (jnp.bfloat16, 0.15)):
+        xx = jnp.asarray(x, dt_)
+        for wname, kind in (("cdf97", "lifting"), ("db4", "filter")):
+            wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+            fw = P.dwt2_lifting if kind == "lifting" else F.dwt2_filter
+            inv = P.idwt2_lifting if kind == "lifting" else F.idwt2_filter
+            for L in (1, 3):
+                with pltpu.force_tpu_interpret_mode():
+                    yp = np.asarray(fw(xx, wt, L), np.float32)
+                    yq = np.asarray(fw(xx, wt, L, packed=False),
+                                    np.float32)
+                    xr = np.asarray(inv(
+                        jnp.asarray(yp, dt_), wt, L), np.float32)
+                sc = np.abs(yq).max()
+                assert np.abs(yp - yq).max() < tol * sc, (wname, dt_, L)
+                assert np.abs(xr - x).max() < tol * sc, (wname, dt_, L)

@@ -345,7 +345,8 @@ def _dwt2_packed(x, wt: OrthoFilter, L: int):
     import os
     from .fused2d import packed_ok, level_fw_packed, level_fw_packed_first
     from .mxu2d import (mxu_packed_ok, mxu_level_fw_packed,
-                        mxu_level_fw_packed_first)
+                        mxu_level_fw_packed_first, mxu_level_fw_packed_last,
+                        _packed_dma)
     mxu = os.environ.get("WAVELETS_TPU_MXU2D") != "0"
     # the VPU packed body is only used on explicit opt-in (=1): it is
     # interpret-validated but not device-measured
@@ -354,6 +355,10 @@ def _dwt2_packed(x, wt: OrthoFilter, L: int):
     ll, y, done = x, None, 0
     for l in range(L):
         if mxu and mxu_packed_ok(m >> l, n >> l, wt, x.dtype):
+            if l == L - 1 and _packed_dma():
+                # final level: ll streams into y in-kernel (see
+                # lifting2d._dwt2_packed)
+                return mxu_level_fw_packed_last(ll, y, (m, n), wt)
             ll, y = (mxu_level_fw_packed_first(ll, wt) if y is None
                      else mxu_level_fw_packed(ll, y, wt))
         elif vpu and packed_ok(m >> l, n >> l, wt, x.dtype):

@@ -604,23 +604,42 @@ def _col_blk(dtype=None, fw: bool = True) -> int:
     tm=128/hm=8/q=32 the col-dot K per element falls 144 -> 80 (the f32
     split triples both).  0 disables (the round-3 full-width col dot).
 
-    Round-4 device A/B (benchmarks/ab/col_blk.py, 638 GB/s session):
-    the FLOP cut is real but the blocked dots' narrow M (2q rows vs the
-    128-row MXU) costs matching efficiency, so f32 is FLAT everywhere
-    (fw 4.46 -> 4.34 ms at best, inv 7.41 -> 7.44) and bf16 forward is
-    already at the DMA floor (+0.03 ms) — but the bf16 INVERSE wins big:
-    6.12 -> 3.82 ms at q=32 (device-exact vs q=0).  Defaults from that
-    data: inverse bf16 -> 32, all else -> 0.  Override with
+    Round-4 device A/Bs (benchmarks/ab/col_blk.py, bf16_pipeline.py,
+    the f32 pipeline probes recorded in BENCHMARKS.md; 635-657 GB/s
+    sessions), full-pipeline 16k² L8 cdf97:
+
+      forward: f32 5.90 -> 5.46 ms @ q=16 (sol 0.825, clears the
+        BASELINE bar); bf16 3.24 -> 2.87 @ q=16 (sol 0.759) — the DEEP
+        levels gain most (their tiles make the full-width col dot
+        relatively costlier).
+      inverse: f32 6.00 -> 7.06 @ q=16 (LOSES — the split triples the
+        small block dots' narrow-M inefficiency); bf16 6.12 -> 3.82
+        level-1 @ q=32 (full idwt2 2.98 ms, sol 0.72).
+
+    Defaults from that data: forward -> 16 (both dtypes), inverse ->
+    32 bf16 / 0 f32.  Blocked results differ from q=0 by f32
+    reassociation only (3e-5 class; bf16 exact) — an earlier
+    'miscompile' reading was an uninitialized-LL-quadrant comparison
+    artifact, retracted in BENCHMARKS.md.  Override with
     WAVELETS_TPU_MXU_COLBLK in {0, 16, 32, 64} (interpret-mode
     equivalence pinned by tests/test_mxu2d.py::test_mxu_col_blocked_*)."""
     import os
     ov = os.environ.get("WAVELETS_TPU_MXU_COLBLK")
     if ov is not None:
         return int(ov)
-    if (not fw and dtype is not None
-            and np.dtype(dtype) == np.dtype(jnp.bfloat16)):
+    if fw:
+        return 16
+    if dtype is not None and np.dtype(dtype) == np.dtype(jnp.bfloat16):
         return 32
     return 0
+
+
+def _blk_mode(mode: str) -> str:
+    """Dot mode for the small block-shared dots: split3cat's K-concat
+    trick amortizes pipeline fill on BIG dots and is pointless on (2q,
+    2q+2hm) blocks, so blocked dots use the plain 3-dot split (measured
+    with it: the fw f32 pipeline win above)."""
+    return "split3" if mode == "split3cat" else mode
 
 
 def _col_dot_blocked(wcq_pair, V_pair, *, mode, q, hm, tm, dt):
@@ -633,7 +652,7 @@ def _col_dot_blocked(wcq_pair, V_pair, *, mode, q, hm, tm, dt):
     for b in range(nb):
         sl = slice(2 * b * q, 2 * (b + 1) * q + 2 * hm)
         Vb = (V[sl], ((Vh[sl], Vl[sl]) if Vh is not None else (None, None)))
-        Yb = _dot_f32(wcq_pair, Vb, mode)      # (2q, tn) f32
+        Yb = _dot_f32(wcq_pair, Vb, _blk_mode(mode))      # (2q, tn) f32
         ya.append(Yb[:q])
         yd.append(Yb[q:])
     return jnp.concatenate(ya + yd, axis=0).astype(dt)
@@ -718,21 +737,12 @@ def _w_col2(wt, tm, hm, dtype):
                            axis=1)
 
 
-def _pick_col_blk(tm: int, hm: int, body: str, dtype,
-                  packed: bool = False) -> int:
+def _pick_col_blk(tm: int, hm: int, body: str, dtype) -> int:
     """Validated block size for the block-shared column dot (0 = off):
     blocks must tile tm, slices must stay sublane-granule-aligned, and
     q = tm/2 is the full-width dot itself (allowed — same math, smaller
-    weight).  Only the v1 body routes through it.
-
-    HARD GATE (not overridable): the packed path with f32 split dots
-    miscompiles on this toolchain with blk > 0 — device output carries
-    non-finite garbage in the stash-streamed quadrants while interpret
-    mode and the quads path are exact (benchmarks/ab/col_blk_debug.py,
-    round 4).  bf16 packed is device-exact and stays eligible."""
+    weight).  Only the v1 body routes through it."""
     if body != "v1":
-        return 0
-    if packed and _mode_for(dtype) in ("split3", "split3cat"):
         return 0
     q = min(_col_blk(dtype, fw=True), tm // 2)
     from .common import halo_granule
@@ -971,7 +981,7 @@ def _mxu_inv_kernel(*refs, nj, mode, gl, m, hm2=None, blk=0):
             sl = slice(b * blk, b * blk + blk + 2 * hm2)
             Eb = (Ea[sl], ((Eh[sl], El[sl]) if Eh is not None
                            else (None, None)))
-            pieces.append(_dot_f32(wc_pair, Eb, mode))
+            pieces.append(_dot_f32(wc_pair, Eb, _blk_mode(mode)))
         return pieces
 
     def col(ga, gb):
@@ -1095,12 +1105,18 @@ def mxu_packed_ok(m: int, n: int, wt, dtype) -> bool:
 
 
 def _fill_quads(ins, wr_ref, wc_ref, ll_ref, stash, *, tm, hm, mode, gl, m,
-                body, blk=0):
-    """Compute one tile's quadrants into ll_ref + the 3-slot stash."""
+                body, blk=0, ll_slot=None):
+    """Compute one tile's quadrants into ll_ref + the 3-slot stash.
+
+    With ``ll_slot`` set, ll goes into that stash slot instead of
+    ``ll_ref`` (the last-level packed variant streams it into the packed
+    buffer alongside the details and drops the separate ll output)."""
     if body == "v2":
         def emit(qd, c0, val):
-            if qd == 0:
+            if qd == 0 and ll_slot is None:
                 ll_ref[:, c0:c0 + val.shape[1]] = val
+            elif qd == 0:
+                stash[ll_slot, :, c0:c0 + val.shape[1]] = val
             else:
                 stash[qd - 1, :, c0:c0 + val.shape[1]] = val
         _fw_body_v2(ins, wr_ref, wc_ref, emit, tm=tm, hm=hm, mode=mode,
@@ -1109,7 +1125,10 @@ def _fill_quads(ins, wr_ref, wc_ref, ll_ref, stash, *, tm, hm, mode, gl, m,
     ll, lh, hl, hh = _quads_any_body(ins, wr_ref, wc_ref, tm=tm, hm=hm,
                                      mode=mode, gl=gl, m=m, body=body,
                                      blk=blk)
-    ll_ref[:] = ll
+    if ll_slot is None:
+        ll_ref[:] = ll
+    else:
+        stash[ll_slot] = ll
     stash[0] = lh
     stash[1] = hl
     stash[2] = hh
@@ -1147,7 +1166,7 @@ def _mxu_packed_call(active, y, yshape, wt):
 
     mr = _row_margin(wt)
     body = _mxu_body_version()
-    blk = _pick_col_blk(tm, hm, body, active.dtype, packed=True)
+    blk = _pick_col_blk(tm, hm, body, active.dtype)
     wr = _w_row(wt, active.dtype, gl, mr)
     wc = _fw_weights(wt, tm, hm, blk, body, active.dtype)
     in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
@@ -1198,18 +1217,32 @@ def _packed_dma() -> bool:
 
 
 def _mxu_packed_dma_kernel(*refs, tm, hm, mode, gl, m, has_alias, nbr, nbc,
-                           body, blk=0):
-    if has_alias:
+                           body, blk=0, last=False):
+    if last:
+        # last-level variant: no separate ll output — ll streams into the
+        # packed buffer's top-left quadrant via a 4th async copy
+        if has_alias:
+            (ins, wr_ref, wc_ref, _yin, y_ref, stash, sem) = (
+                refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
+                refs[14])
+        else:
+            (ins, wr_ref, wc_ref, y_ref, stash, sem) = (
+                refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13])
+        ll_ref = None
+        bm, bn = stash.shape[1], stash.shape[2]
+    elif has_alias:
         (ins, wr_ref, wc_ref, _yin, ll_ref, y_ref, stash, sem) = (
             refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
             refs[14], refs[15])
+        bm, bn = ll_ref.shape
     else:
         (ins, wr_ref, wc_ref, ll_ref, y_ref, stash, sem) = (
             refs[:9], refs[9], refs[10], refs[11], refs[12], refs[13],
             refs[14])
+        bm, bn = ll_ref.shape
     _fill_quads(ins, wr_ref, wc_ref, ll_ref, stash, tm=tm, hm=hm, mode=mode,
-                gl=gl, m=m, body=body, blk=blk)
-    bm, bn = ll_ref.shape
+                gl=gl, m=m, body=body, blk=blk,
+                ll_slot=3 if last else None)
     i = pl.program_id(0)
     j = pl.program_id(1)
     # element offsets of this tile's quadrant blocks in the packed buffer:
@@ -1229,15 +1262,25 @@ def _mxu_packed_dma_kernel(*refs, tm, hm, mode, gl, m, has_alias, nbr, nbc,
             stash.at[2], y_ref.at[pl.ds(r_hi, bm), pl.ds(c_hi, bn)],
             sem.at[2]),
     ]
+    if last:
+        dmas.append(pltpu.make_async_copy(
+            stash.at[3], y_ref.at[pl.ds(r_lo, bm), pl.ds(c_lo, bn)],
+            sem.at[3]))
     for d in dmas:
         d.start()
     for d in dmas:
         d.wait()
 
 
-def _mxu_packed_call_dma(active, y, yshape, wt):
+def _mxu_packed_call_dma(active, y, yshape, wt, last=False):
     """DMA-packed forward level: one grid step per tile (no q axis); the
-    three detail quadrants leave via in-kernel VMEM→HBM async copies."""
+    three detail quadrants leave via in-kernel VMEM→HBM async copies.
+
+    ``last=True`` is the final-level variant: ll streams into the packed
+    buffer's top-left quadrant as a 4th async copy and the separate ll
+    output is dropped — the driver's closing dynamic_update_slice (a
+    read+write of the whole ll quadrant, 0.85 ms f32 / 0.41 bf16 at 16k²
+    L=1) disappears.  Returns y alone in that mode."""
     ml, nl = active.shape
     M, N = yshape
     tm, tn, hm = _plan(ml, nl, wt, active.dtype)
@@ -1247,7 +1290,7 @@ def _mxu_packed_call_dma(active, y, yshape, wt):
     nbc = nl // tn
     mr = _row_margin(wt)
     body = _mxu_body_version()
-    blk = _pick_col_blk(tm, hm, body, active.dtype, packed=True)
+    blk = _pick_col_blk(tm, hm, body, active.dtype)
     wr = _w_row(wt, active.dtype, gl, mr)
     wc = _fw_weights(wt, tm, hm, blk, body, active.dtype)
     in_specs = _halo_in_specs(ml, nl, tm, tn, hm, _HN) + [
@@ -1261,28 +1304,31 @@ def _mxu_packed_call_dma(active, y, yshape, wt):
     if y is not None:
         in_specs = in_specs + [pl.BlockSpec(memory_space=pl.ANY)]
         inputs = inputs + [y]
-        aliases = {11: 1}
-    return pl.pallas_call(
+        aliases = {11: 0 if last else 1}
+    nslots = 4 if last else 3
+    ll_out = () if last else (
+        (pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                      memory_space=pltpu.VMEM),
+         jax.ShapeDtypeStruct((ml // 2, nl // 2), active.dtype)),)
+    out_specs = tuple(s for s, _ in ll_out) + (
+        pl.BlockSpec(memory_space=pl.ANY),)
+    out_shape = tuple(o for _, o in ll_out) + (
+        jax.ShapeDtypeStruct((M, N), active.dtype),)
+    res = pl.pallas_call(
         partial(_mxu_packed_dma_kernel, tm=tm, hm=hm,
                 mode=_mode_for(active.dtype), gl=gl, m=mr,
                 has_alias=y is not None, nbr=nbr, nbc=nbc, body=body,
-                blk=blk),
+                blk=blk, last=last),
         grid=(ml // tm, nl // tn),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((bm, bn), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((ml // 2, nl // 2), active.dtype),
-            jax.ShapeDtypeStruct((M, N), active.dtype),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         input_output_aliases=aliases,
-        scratch_shapes=[pltpu.VMEM((3, bm, bn), active.dtype),
-                        pltpu.SemaphoreType.DMA((3,))],
+        scratch_shapes=[pltpu.VMEM((nslots, bm, bn), active.dtype),
+                        pltpu.SemaphoreType.DMA((nslots,))],
         compiler_params=_sem(2),
     )(*inputs)
+    return res[0] if last else res
 
 
 def mxu_level_fw_packed(active, y, wt):
@@ -1292,6 +1338,14 @@ def mxu_level_fw_packed(active, y, wt):
     if _packed_dma():
         return _mxu_packed_call_dma(active, y, y.shape, wt)
     return _mxu_packed_call(active, y, y.shape, wt)
+
+
+def mxu_level_fw_packed_last(active, y, yshape, wt):
+    """Final-level packed call: ll streams into the packed buffer's
+    top-left quadrant in-kernel, so the caller needs NO closing
+    dynamic_update_slice.  Returns the finished packed buffer.  DMA
+    variant only (callers must check _packed_dma())."""
+    return _mxu_packed_call_dma(active, y, yshape, wt, last=True)
 
 
 def mxu_level_fw_packed_first(active, wt):
