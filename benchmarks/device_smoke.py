@@ -49,9 +49,14 @@ def check(name, fn, platform_optional=False):
         code = ("import sys; sys.path.insert(0, '.');"
                 "from benchmarks.device_smoke import _run_one;"
                 f"_run_one('{name}')")
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True, timeout=360)
-        ok = "PASS" in r.stdout
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=360)
+            ok = "PASS" in r.stdout
+        except subprocess.TimeoutExpired:
+            # a hung probe (slow-weather compile or a wedged dispatch)
+            # must not kill the sweep — record as unsupported-here
+            ok = False
         RESULTS[name] = {"ok": True, "platform_optional": True,
                          "supported_here": ok}
         print(("PASS" if ok else "SKIP (platform-unsupported)")

@@ -538,3 +538,27 @@ def test_mxu_packed_last_level_streams_ll():
                 sc = np.abs(yq).max()
                 assert np.abs(yp - yq).max() < tol * sc, (wname, dt_, L)
                 assert np.abs(xr - x).max() < tol * sc, (wname, dt_, L)
+
+
+def test_stage2_fused_two_levels(monkeypatch):
+    """Fused 2-level forward stage (stage2d.py) vs the per-level quads
+    path: bf16 must be BIT-EXACT (same 1-pass dots, same order), f32
+    within the split-reassociation class; L=2 exercises the last=True
+    ll-streaming variant, L=3 the (ll, y) continuation."""
+    monkeypatch.setenv("WAVELETS_TPU_MXU_LS2", "1")
+    from wavelets_tpu.ops.pallas import filter2d as F, stage2d
+    rng = np.random.default_rng(95)
+    x = rng.standard_normal((256, 512)).astype(np.float32)
+    for dt_, tol in ((np.float32, 4e-5), (jnp.bfloat16, 0.0)):
+        xx = jnp.asarray(x, dt_)
+        for wname, kind in (("cdf97", "lifting"), ("db4", "filter")):
+            wt = w.wt.wavelet(w.wt.ALL_CLASSES[wname], kind)
+            assert stage2d.stage2_ok(256, 512, wt, dt_)
+            fw = P.dwt2_lifting if kind == "lifting" else F.dwt2_filter
+            for L in (2, 3):
+                with pltpu.force_tpu_interpret_mode():
+                    yp = np.asarray(fw(xx, wt, L), np.float32)
+                    yq = np.asarray(fw(xx, wt, L, packed=False),
+                                    np.float32)
+                e = np.abs(yp - yq).max() / np.abs(yq).max()
+                assert e <= tol, (wname, str(dt_), L, e)

@@ -353,7 +353,16 @@ def _dwt2_packed(x, wt: OrthoFilter, L: int):
     vpu = os.environ.get("WAVELETS_TPU_PACKED2D") == "1"
     m, n = x.shape
     ll, y, done = x, None, 0
-    for l in range(L):
+    # fused 2-level first stage (see lifting2d._dwt2_packed)
+    from .stage2d import stage2_ok, stage2_fw
+    if (mxu and L >= 2 and _packed_dma()
+            and stage2_ok(m, n, wt, x.dtype)
+            and mxu_packed_ok(m, n, wt, x.dtype)):
+        if L == 2:
+            return stage2_fw(x, None, (m, n), wt, last=True)
+        ll, y = stage2_fw(x, None, (m, n), wt)
+        done = 2
+    for l in range(done, L):
         if mxu and mxu_packed_ok(m >> l, n >> l, wt, x.dtype):
             if l == L - 1 and _packed_dma():
                 # final level: ll streams into y in-kernel (see

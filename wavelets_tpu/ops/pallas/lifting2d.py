@@ -421,7 +421,17 @@ def _dwt2_packed(x, scheme: GLS, L: int):
     vpu = os.environ.get("WAVELETS_TPU_PACKED2D") == "1"
     m, n = x.shape
     ll, y, done = x, None, 0
-    for l in range(L):
+    # fused 2-level first stage (stage2d.py): levels 1+2 in one launch,
+    # removing level 2's HBM round-trip (bf16 default; see stage2_on)
+    from .stage2d import stage2_ok, stage2_fw
+    if (mxu and L >= 2 and _packed_dma()
+            and stage2_ok(m, n, scheme, x.dtype)
+            and mxu_packed_ok(m, n, scheme, x.dtype)):
+        if L == 2:
+            return stage2_fw(x, None, (m, n), scheme, last=True)
+        ll, y = stage2_fw(x, None, (m, n), scheme)
+        done = 2
+    for l in range(done, L):
         if mxu and mxu_packed_ok(m >> l, n >> l, scheme, x.dtype):
             if l == L - 1 and _packed_dma():
                 # final level: ll streams into y in-kernel — no closing
