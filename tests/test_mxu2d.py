@@ -562,3 +562,28 @@ def test_stage2_fused_two_levels(monkeypatch):
                                     np.float32)
                 e = np.abs(yp - yq).max() / np.abs(yq).max()
                 assert e <= tol, (wname, str(dt_), L, e)
+
+
+def test_axis0_col_blocked_matches_full(monkeypatch):
+    """Axis-0 block-shared col dots (fw and inv) must reproduce the
+    full-width dots to reassociation (f32) / exactly (bf16)."""
+    from wavelets_tpu.ops.pallas import axis0 as A
+    rng = np.random.default_rng(97)
+    x = rng.standard_normal((512, 256)).astype(np.float32)
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    for dt_, tol in ((np.float32, 3e-5), (jnp.bfloat16, 0.0)):
+        xx = jnp.asarray(x, dt_)
+        outs = {}
+        for q in ("0", "32"):
+            monkeypatch.setenv("WAVELETS_TPU_MXU_COLBLK", q)
+            with pltpu.force_tpu_interpret_mode():
+                y = A.axis0_level_fw(xx, wt)
+                outs[("fw", q)] = np.asarray(y, np.float32)
+                outs[("iv", q)] = np.asarray(
+                    A.axis0_level_inv(y, wt), np.float32)
+        for d in ("fw", "iv"):
+            e = np.abs(outs[(d, "0")] - outs[(d, "32")]).max()
+            assert e <= tol, (d, str(dt_), e)
+        # and the round trip reconstructs
+        rt = np.abs(outs[("iv", "32")] - np.asarray(xx, np.float32)).max()
+        assert rt < (2e-4 if dt_ == np.float32 else 0.2)

@@ -167,10 +167,12 @@ def axis0_level_fw(x, wt):
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((2, R // 2, C), x.dtype)
     if _mxu_on() and _mxu_axis0_ok(x.dtype, tm, halo):
-        from .mxu2d import _w_col, _mode_for
-        wc = _w_col(wt, tm, halo, x.dtype)
+        from .mxu2d import _mode_for
+        blk = _axis0_blk(tm, halo, x.dtype, fw=True)
+        wc = _fw_weight(wt, tm, halo, blk, x.dtype)
         out = pl.pallas_call(
-            partial(_fw_mxu_kernel, mode=_mode_for(x.dtype)),
+            partial(_fw_mxu_kernel, mode=_mode_for(x.dtype), blk=blk,
+                    halo=halo),
             grid=(R // tm, C // tn),
             in_specs=in_specs + [pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
                                               memory_space=pltpu.VMEM)],
@@ -206,17 +208,20 @@ def axis0_level_inv(y, wt):
     out_shape = jax.ShapeDtypeStruct((R, C), y.dtype)
     if _mxu_on() and _mxu_axis0_ok(y.dtype, tm, halo) \
             and _syn_fits(wt, halo):
-        from .mxu2d import _w_col_inv, _mode_for
-        wc = _w_col_inv(wt, 2 * tm, halo, y.dtype)
+        from .mxu2d import _mode_for
+        blk = _axis0_blk(tm, halo, y.dtype, fw=False)
+        ws = _inv_weights(wt, tm, halo, blk, y.dtype)
         return pl.pallas_call(
-            partial(_inv_mxu_kernel, mode=_mode_for(y.dtype)),
+            partial(_inv_mxu_kernel, mode=_mode_for(y.dtype), blk=blk,
+                    halo=halo),
             grid=((R // 2) // tm, C // tn),
-            in_specs=in_specs + [pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
-                                              memory_space=pltpu.VMEM)],
+            in_specs=in_specs + [
+                pl.BlockSpec(w.shape, lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM) for w in ws],
             out_specs=out_spec,
             out_shape=out_shape,
             compiler_params=_sem(2),
-        )(packed, packed, packed, packed, packed, packed, wc)
+        )(packed, packed, packed, packed, packed, packed, *ws)
     return pl.pallas_call(
         partial(_inv_kernel, wt=wt, halo=halo, tm=tm),
         grid=((R // 2) // tm, C // tn),
@@ -307,10 +312,12 @@ def axis0_level_fw_ext(above, x, below, wt):
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((2, R // 2, C), x.dtype)
     if _mxu_on() and _mxu_axis0_ok(x.dtype, tm, halo):
-        from .mxu2d import _w_col, _mode_for
-        wc = _w_col(wt, tm, halo, x.dtype)
+        from .mxu2d import _mode_for
+        blk = _axis0_blk(tm, halo, x.dtype, fw=True)
+        wc = _fw_weight(wt, tm, halo, blk, x.dtype)
         out = pl.pallas_call(
-            partial(_fw_mxu_ext_kernel, mode=_mode_for(x.dtype)),
+            partial(_fw_mxu_ext_kernel, mode=_mode_for(x.dtype), blk=blk,
+                    halo=halo),
             grid=(R // tm, C // tn),
             in_specs=in_specs + [pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
                                               memory_space=pltpu.VMEM)],
@@ -404,17 +411,20 @@ def axis0_level_inv_ext(a_halos, a, b_halos, d, wt):
     out_shape = jax.ShapeDtypeStruct((2 * Rh, C), a.dtype)
     if _mxu_on() and _mxu_axis0_ok(a.dtype, tm, halo) \
             and _syn_fits(wt, halo):
-        from .mxu2d import _w_col_inv, _mode_for
-        wc = _w_col_inv(wt, 2 * tm, halo, a.dtype)
+        from .mxu2d import _mode_for
+        blk = _axis0_blk(tm, halo, a.dtype, fw=False)
+        ws = _inv_weights(wt, tm, halo, blk, a.dtype)
         return pl.pallas_call(
-            partial(_inv_mxu_ext_kernel, mode=_mode_for(a.dtype)),
+            partial(_inv_mxu_ext_kernel, mode=_mode_for(a.dtype), blk=blk,
+                    halo=halo),
             grid=(Rh // tm, C // tn),
-            in_specs=in_specs + [pl.BlockSpec(wc.shape, lambda i, j: (0, 0),
-                                              memory_space=pltpu.VMEM)],
+            in_specs=in_specs + [
+                pl.BlockSpec(w.shape, lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM) for w in ws],
             out_specs=out_spec,
             out_shape=out_shape,
             compiler_params=_sem(2),
-        )(a_above, a, a, a, a_below, d_above, d, d, d, d_below, wc)
+        )(a_above, a, a, a, a_below, d_above, d, d, d, d_below, *ws)
     return pl.pallas_call(
         partial(_inv_ext_kernel, wt=wt, halo=halo, tm=tm),
         grid=(Rh // tm, C // tn),
@@ -455,45 +465,111 @@ def _syn_fits(wt, halo: int) -> bool:
     return max(lo, hi) <= halo
 
 
-def _fw_mxu_kernel(top_ref, mid_ref, bot_ref, wc_ref, o_ref, *, mode):
-    from .mxu2d import _dot_f32, _pair
+def _axis0_blk(tm: int, halo: int, dtype, fw: bool) -> int:
+    """Block size for the axis-0 block-shared col dots.
+
+    Tall axis-0 tiles make the dense col-dot K = tm + 2h much larger
+    than the 2-D level's (tm up to 1024 vs 128), so the FLOP cut
+    overwhelms the narrow-M cost for BOTH directions and dtypes —
+    unlike the 2-D policy, where the f32 inverse loses.  Device A/B
+    (65536x2048 level, 670 GB/s session, BENCHMARKS.md round 4): f32
+    fw 2.03 -> 1.60 ms / inv 2.52 -> 1.56; bf16 fw 1.07 -> 0.79 / inv
+    1.54 -> 0.81 — all four AT the same-session DMA floor; dwt3 256^3
+    pipeline 1.29 -> 1.15 ms.  Defaults 16 fw / 32 inv; the same
+    WAVELETS_TPU_MXU_COLBLK env overrides both layers."""
+    import os
+    from .common import halo_granule
+    ov = os.environ.get("WAVELETS_TPU_MXU_COLBLK")
+    q = int(ov) if ov is not None else (16 if fw else 32)
+    g = halo_granule(dtype)
+    if fw:
+        q = min(q, tm // 2)
+        while q >= 8 and (tm % (2 * q) or (2 * q) % g):
+            q //= 2
+    else:
+        q = min(q, tm)
+        while q >= 8 and (tm % q or q % g):
+            q //= 2
+    return q if q >= 8 else 0
+
+
+def _fw_weight(wt, tm, halo, blk, dtype):
+    from .mxu2d import _w_col
+    return _w_col(wt, 2 * blk if blk else tm, halo, dtype)
+
+
+def _inv_weights(wt, tm, halo, blk, dtype):
+    """Weight ref list for the inverse col dot: the stacked full weight,
+    or (wcs, wcd) halves of the shared block weight (host-side split —
+    no in-kernel non-128-aligned lane slicing)."""
+    from .mxu2d import _w_col_inv
+    if not blk:
+        return [_w_col_inv(wt, 2 * tm, halo, dtype)]
+    wc = _w_col_inv(wt, 2 * blk, halo, dtype)
+    E = wc.shape[1] // 2
+    return [wc[:, :E], wc[:, E:]]
+
+
+def _fw_col(ext, wc_ref, mode, blk, halo, dt):
+    from .mxu2d import _dot_f32, _pair, _col_dot_blocked
+    if blk:
+        return _col_dot_blocked(_pair(wc_ref[:], mode), _pair(ext, mode),
+                                mode=mode, q=blk, hm=halo,
+                                tm=ext.shape[0] - 2 * halo, dt=dt)
+    return _dot_f32(_pair(wc_ref[:], mode), _pair(ext, mode),
+                    mode).astype(dt)
+
+
+def _inv_col(a, d, wrefs, mode, blk, halo, dt):
+    from .mxu2d import _dot_f32, _pair, _inv_col_dot_blocked
+    if blk:
+        wcs_ref, wcd_ref = wrefs
+        pa = _inv_col_dot_blocked(_pair(wcs_ref[:], mode), _pair(a, mode),
+                                  mode=mode, blk=blk, hm2=halo)
+        pb = _inv_col_dot_blocked(_pair(wcd_ref[:], mode), _pair(d, mode),
+                                  mode=mode, blk=blk, hm2=halo)
+        return jnp.concatenate([x + y for x, y in zip(pa, pb)],
+                               axis=0).astype(dt)
+    (wc_ref,) = wrefs
+    stacked = jnp.concatenate([a, d], axis=0)
+    return _dot_f32(_pair(wc_ref[:], mode), _pair(stacked, mode),
+                    mode).astype(dt)
+
+
+def _fw_mxu_kernel(top_ref, mid_ref, bot_ref, wc_ref, o_ref, *, mode,
+                   blk=0, halo=0):
     ext = jnp.concatenate([top_ref[:], mid_ref[:], bot_ref[:]], axis=0)
-    Y = _dot_f32(_pair(wc_ref[:], mode), _pair(ext, mode),
-                 mode).astype(o_ref.dtype)
+    Y = _fw_col(ext, wc_ref, mode, blk, halo, o_ref.dtype)
     tm2 = Y.shape[0] // 2
     o_ref[0] = Y[:tm2]
     o_ref[1] = Y[tm2:]
 
 
 def _fw_mxu_ext_kernel(above_ref, top_ref, mid_ref, bot_ref, below_ref,
-                       wc_ref, o_ref, *, mode):
-    from .mxu2d import _dot_f32, _pair
+                       wc_ref, o_ref, *, mode, blk=0, halo=0):
     i = pl.program_id(0)
     last = pl.num_programs(0) - 1
     top = jnp.where(i == 0, above_ref[:], top_ref[:])
     bot = jnp.where(i == last, below_ref[:], bot_ref[:])
     ext = jnp.concatenate([top, mid_ref[:], bot], axis=0)
-    Y = _dot_f32(_pair(wc_ref[:], mode), _pair(ext, mode),
-                 mode).astype(o_ref.dtype)
+    Y = _fw_col(ext, wc_ref, mode, blk, halo, o_ref.dtype)
     tm2 = Y.shape[0] // 2
     o_ref[0] = Y[:tm2]
     o_ref[1] = Y[tm2:]
 
 
 def _inv_mxu_kernel(at_ref, ac_ref, ab_ref, dt_ref, dc_ref, db_ref,
-                    wc_ref, o_ref, *, mode):
-    from .mxu2d import _dot_f32, _pair
+                    *rest, mode, blk=0, halo=0):
+    o_ref = rest[-1]
     a = jnp.concatenate([at_ref[0], ac_ref[0], ab_ref[0]], axis=0)
     d = jnp.concatenate([dt_ref[0], dc_ref[0], db_ref[0]], axis=0)
-    stacked = jnp.concatenate([a, d], axis=0)
-    o_ref[:] = _dot_f32(_pair(wc_ref[:], mode), _pair(stacked, mode),
-                        mode).astype(o_ref.dtype)
+    o_ref[:] = _inv_col(a, d, rest[:-1], mode, blk, halo, o_ref.dtype)
 
 
 def _inv_mxu_ext_kernel(aa_ref, at_ref, ac_ref, ab_ref, ba_ref,
                         da_ref, dt_ref, dc_ref, db_ref, bd_ref,
-                        wc_ref, o_ref, *, mode):
-    from .mxu2d import _dot_f32, _pair
+                        *rest, mode, blk=0, halo=0):
+    o_ref = rest[-1]
     i = pl.program_id(0)
     last = pl.num_programs(0) - 1
     at = jnp.where(i == 0, aa_ref[:], at_ref[:])
@@ -502,6 +578,4 @@ def _inv_mxu_ext_kernel(aa_ref, at_ref, ac_ref, ab_ref, ba_ref,
     dbt = jnp.where(i == last, bd_ref[:], db_ref[:])
     a = jnp.concatenate([at, ac_ref[:], ab], axis=0)
     d = jnp.concatenate([dtp, dc_ref[:], dbt], axis=0)
-    stacked = jnp.concatenate([a, d], axis=0)
-    o_ref[:] = _dot_f32(_pair(wc_ref[:], mode), _pair(stacked, mode),
-                        mode).astype(o_ref.dtype)
+    o_ref[:] = _inv_col(a, d, rest[:-1], mode, blk, halo, o_ref.dtype)

@@ -642,6 +642,23 @@ def _blk_mode(mode: str) -> str:
     return "split3" if mode == "split3cat" else mode
 
 
+def _inv_col_dot_blocked(wc_pair, E_pair, *, mode, blk, hm2):
+    """Block-shared synthesis col dot: output rows [2bq, 2bq + 2q) (q
+    interleaved position pairs) read only ext rows [bq, bq + q + 2hm2),
+    and every block shares the ONE (2q, q + 2hm2) weight (= _w_col_inv
+    at tm=2q); K per output element falls from tm/2 + 2hm2 to q + 2hm2.
+    Returns the per-block piece list (concatenate along rows)."""
+    Ea, (Eh, El) = E_pair
+    nb = (Ea.shape[0] - 2 * hm2) // blk
+    pieces = []
+    for b in range(nb):
+        sl = slice(b * blk, b * blk + blk + 2 * hm2)
+        Eb = (Ea[sl], ((Eh[sl], El[sl]) if Eh is not None
+                       else (None, None)))
+        pieces.append(_dot_f32(wc_pair, Eb, _blk_mode(mode)))
+    return pieces
+
+
 def _col_dot_blocked(wcq_pair, V_pair, *, mode, q, hm, tm, dt):
     """Column transform as tm/(2q) block dots against the shared
     (2q, 2q + 2hm) weight; returns Y (tm, tn) in quadrant row order
@@ -969,20 +986,8 @@ def _mxu_inv_kernel(*refs, nj, mode, gl, m, hm2=None, blk=0):
     wc_d = _pair(wcd_ref[:], mode)
 
     def _blocked_half(wc_pair, E_pair):
-        # block-shared synthesis col dot: output rows [2bq, 2bq + 2q)
-        # (q interleaved position pairs) read only ext rows
-        # [bq, bq + q + 2hm2), and every block shares the ONE
-        # (2q, q + 2hm2) weight (= _w_col_inv at tm=2q); K per output
-        # element falls from tm/2 + 2hm2 to q + 2hm2
-        Ea, (Eh, El) = E_pair
-        nb = (Ea.shape[0] - 2 * hm2) // blk     # = tm / (2*blk)
-        pieces = []
-        for b in range(nb):
-            sl = slice(b * blk, b * blk + blk + 2 * hm2)
-            Eb = (Ea[sl], ((Eh[sl], El[sl]) if Eh is not None
-                           else (None, None)))
-            pieces.append(_dot_f32(wc_pair, Eb, _blk_mode(mode)))
-        return pieces
+        return _inv_col_dot_blocked(wc_pair, E_pair, mode=mode, blk=blk,
+                                    hm2=hm2)
 
     def col(ga, gb):
         # X = Wc_s @ ext(ga) + Wc_d @ ext(gb), the [s;d]-stacked column
