@@ -39,7 +39,15 @@ errb = float(jnp.max(jnp.abs(w.idwt(yb, wt_p, 3).astype(jnp.float32) - x)))
 print(f"bfloat16   round-trip max-abs-err {errb:.2e} (~2^-8 per level)")
 
 # --- complex64 (two real f32 kernel transforms under the hood) ---------------
-xc = (x + 1j * x[::-1]).astype(np.complex64)
-yc = w.dwt(xc, wt_p, 3)
-errc = float(jnp.max(jnp.abs(w.idwt(yc, wt_p, 3) - xc)))
-print(f"complex64  round-trip max-abs-err {errc:.2e}")
+# The tunneled axon backend in this sandbox rejects EVERY complex op
+# (UNIMPLEMENTED, even x + 1) — a platform limitation, not a framework
+# one (CPU and standard TPU runtimes pass; DEVICE_SMOKE isolates it the
+# same way).  Probe and skip gracefully.
+try:
+    xc = (x + 1j * x[::-1]).astype(np.complex64)
+    yc = w.dwt(xc, wt_p, 3)
+    errc = float(jnp.max(jnp.abs(w.idwt(yc, wt_p, 3) - xc)))
+    print(f"complex64  round-trip max-abs-err {errc:.2e}")
+except Exception as e:  # pragma: no cover - tunneled-backend limitation
+    print(f"complex64  skipped: this backend rejects complex ops "
+          f"({type(e).__name__})")

@@ -9,9 +9,22 @@ On a real pod slice the same code scales across chips/hosts
 (jax.distributed.initialize first; the mesh picks up all devices).
 """
 
+import os
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 import numpy as np
 
 import jax
+
+# Honor the documented hardware-free invocation on sandboxes whose
+# JAX_PLATFORMS env var is ignored (the tunneled-TPU "axon" platform
+# otherwise wins and the virtual CPU mesh never forms): if the caller
+# asked for virtual host devices, force the cpu platform in-process.
+if "--xla_force_host_platform_device_count" in os.environ.get(
+        "XLA_FLAGS", ""):
+    jax.config.update("jax_platforms", "cpu")
 
 if len(jax.devices()) < 2:  # pragma: no cover - convenience for laptops
     print("hint: set XLA_FLAGS=--xla_force_host_platform_device_count=8")
