@@ -48,7 +48,7 @@ def main():
     import jax.numpy as jnp
     import wavelets_tpu as w
     from wavelets_tpu.transforms import _dwt_jit, _wpt_jit, _modwt_jit, \
-        _tree_tuple
+        _TreeKey
 
     platform = jax.devices()[0].platform
     on_cpu = platform == "cpu"
@@ -126,7 +126,7 @@ def main():
     wt4 = wavelets["db4/filter"]
     for n in shapes_1d:
         x = jax.device_put(rng.standard_normal(n).astype(np.float32))
-        tree = _tree_tuple(w.maketree(n, levels_for(n), "full"))
+        tree = _TreeKey(w.maketree(n, levels_for(n), "full"))
         record("wpt", "db4/filter", n,
                _timeit(lambda v: _wpt_jit(v, wt4, tree, True), x, iters))
         record("iwpt", "db4/filter", n,
