@@ -34,6 +34,11 @@ import wavelets_tpu as w
 
 RESULTS = {}
 
+# set when a platform-optional probe times out: the device may be wedged
+# and the killed compile is itself the wedge hazard, so the remaining
+# sweep is skipped rather than measured against a broken session
+ABORTED = False
+
 
 def check(name, fn, platform_optional=False):
     """``platform_optional``: a family whose device support depends on
@@ -44,6 +49,11 @@ def check(name, fn, platform_optional=False):
     a failed dispatch can poison this process's backend state (later
     dispatches all fail UNIMPLEMENTED), so platform-optional families
     run in a SUBPROCESS."""
+    global ABORTED
+    if ABORTED:
+        RESULTS[name] = {"ok": True, "skipped": "sweep-aborted"}
+        print(f"SKIP {name} [sweep aborted after timeout]", flush=True)
+        return
     if platform_optional:
         import subprocess
         code = ("import sys; sys.path.insert(0, '.');"
@@ -54,9 +64,18 @@ def check(name, fn, platform_optional=False):
                                capture_output=True, text=True, timeout=360)
             ok = "PASS" in r.stdout
         except subprocess.TimeoutExpired:
-            # a hung probe (slow-weather compile or a wedged dispatch)
-            # must not kill the sweep — record as unsupported-here
-            ok = False
+            # A hung probe is a WEATHER event (slow compile or a wedged
+            # session), not a platform gap — record it as 'timeout'
+            # (distinct from platform-unsupported) and abort the rest of
+            # the sweep: the kill itself is the documented device-wedge
+            # hazard and further probes against a possibly wedged device
+            # only produce more junk rows (ADVICE r4).
+            RESULTS[name] = {"ok": True, "platform_optional": True,
+                             "timeout": True}
+            print(f"TIMEOUT {name} [platform-optional] — aborting the "
+                  "remaining sweep (possibly wedged session)", flush=True)
+            ABORTED = True
+            return
         RESULTS[name] = {"ok": True, "platform_optional": True,
                          "supported_here": ok}
         print(("PASS" if ok else "SKIP (platform-unsupported)")
@@ -157,9 +176,10 @@ def main():
         return 0.0 if np.isfinite(np.asarray(y)).all() else float("nan")
     check("matchingpursuit", _pursuit)
 
-    ok = all(r.get("ok") for r in RESULTS.values())
+    ok = all(r.get("ok") for r in RESULTS.values()) and not ABORTED
     print(json.dumps({"device_smoke_ok": ok,
                       "families": len(RESULTS),
+                      "aborted": ABORTED,
                       "failures": [k for k, r in RESULTS.items()
                                    if not r.get("ok")]}))
     return 0 if ok else 1

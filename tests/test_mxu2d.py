@@ -377,7 +377,7 @@ def test_mxu_bf16_3d():
     assert np.abs(xr - np.asarray(x, np.float64)).max() < 0.08 * scale
 
 
-@pytest.mark.parametrize("body", ["v2", "v3"])
+@pytest.mark.parametrize("body", ["v2", "v3", "v4", "v5"])
 def test_mxu_alt_bodies_match_v1(monkeypatch, body):
     """The alternative forward compute bodies (kept as measured negative
     results behind WAVELETS_TPU_MXU_BODY) must stay numerically
@@ -403,7 +403,12 @@ def test_mxu_alt_bodies_match_v1(monkeypatch, body):
     mh, nh = 128, 256
     dd = max(np.abs(ya[:mh, nh:] - yb[:mh, nh:]).max(),
              np.abs(ya[mh:, :] - yb[mh:, :]).max())
-    assert max(qd, ld, dd) < 1e-5, (body, qd, ld, dd)
+    # v4's batched row dot runs split3 (3 separate dots) where v1 runs
+    # split3cat (one K-concat dot) — a different f32 reassociation of
+    # the same terms (3e-5 class, as the blocked-col tests); v5 only
+    # reorders the V assembly copies (bit-exact)
+    tol = 3e-5 if body == "v4" else 1e-5
+    assert max(qd, ld, dd) < tol, (body, qd, ld, dd)
 
 
 def test_plan_inv_envelope_pins(monkeypatch):
@@ -419,11 +424,15 @@ def test_plan_inv_envelope_pins(monkeypatch):
     db4 = w.wt.wavelet(w.wt.db4)
     batt = w.wt.wavelet(w.wt.batt6)
     for n in (16384, 8192, 4096):
+        # bf16 rides tn=8192 where divisibility allows (the itemsize-
+        # aware VMEM formula admits it; device-measured -8% on the full
+        # idwt2 and compile-verified up to hm2=32, round 5)
+        tn_b = 8192 if n % 8192 == 0 else 4096
         assert M._plan_inv(n, n, cdf, np.float32) == (128, 4096, 8, 128)
-        assert M._plan_inv(n, n, cdf, jnp.bfloat16) == (128, 4096, 16, 128)
+        assert M._plan_inv(n, n, cdf, jnp.bfloat16) == (128, tn_b, 16, 128)
         assert M._plan_inv(n, n, db4, np.float32) == (128, 4096, 8, 128)
         assert M._plan_inv(n, n, batt, np.float32) == (128, 4096, 32, 128)
-        assert M._plan_inv(n, n, batt, jnp.bfloat16) == (128, 4096, 32, 128)
+        assert M._plan_inv(n, n, batt, jnp.bfloat16) == (128, tn_b, 32, 128)
         # forward plans at the same shapes (the VMEM gate's other user):
         # batt6 f32's extended tile exceeds the 2.55 MB line at tn=4096
         assert M._plan(n, n, cdf, np.float32) == (128, 4096, 8)
@@ -511,6 +520,57 @@ def test_mxu_inv_col_blocked_matches_full(monkeypatch, blk):
     assert np.abs(outs["0"] - outs[blk]).max() < 3e-5
     # and the full round trip reconstructs x
     assert np.abs(outs[blk] - x).max() < 2e-4
+
+
+@pytest.mark.parametrize("dtype,blk", [
+    (np.float32, "0"), (np.float32, "32"), (jnp.bfloat16, "0"),
+    (jnp.bfloat16, "32")])
+def test_mxu_inv_body_v2_matches_v1(monkeypatch, dtype, blk):
+    """The v2/v2c/v2r inverse bodies (K-split col dots and/or batched
+    row windows, WAVELETS_TPU_MXU_INV_BODY) must reproduce v1 up to f32
+    reassociation, in both quadrant and packed reads, both dtypes, and
+    with/without the blocked column dot."""
+    rng = np.random.default_rng(555)
+    x = rng.standard_normal((256, 512)).astype(np.float32)
+    if np.dtype(dtype) == np.dtype(jnp.bfloat16):
+        x = x.astype(jnp.bfloat16)
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    monkeypatch.setenv("WAVELETS_TPU_MXU_COLBLK", blk)
+    with pltpu.force_tpu_interpret_mode():
+        qts = [jnp.asarray(np.asarray(a)) for a in
+               M.mxu_level_fw_quads(jnp.asarray(x), wt)]
+    outs = {}
+    for body in ("v1", "v2", "v2c", "v2r", "v6"):
+        monkeypatch.setenv("WAVELETS_TPU_MXU_INV_BODY", body)
+        with pltpu.force_tpu_interpret_mode():
+            outs[body] = np.asarray(M.mxu_inv_quads(*qts, wt), np.float32)
+    tol = 3e-5 if np.dtype(dtype) == np.dtype(np.float32) else 3e-2
+    rt_tol = 2e-4 if np.dtype(dtype) == np.dtype(np.float32) else 0.1
+    for body in ("v2", "v2c", "v2r", "v6"):
+        assert np.abs(outs["v1"] - outs[body]).max() < tol, body
+        # and the round trip reconstructs x
+        assert np.abs(outs[body] - np.asarray(x, np.float32)).max() < rt_tol, \
+            body
+
+
+def test_mxu_inv_body_v2_packed(monkeypatch):
+    """v2 must also be exact on the packed-read inverse (offset halo
+    windows through the same group specs)."""
+    rng = np.random.default_rng(556)
+    x = rng.standard_normal((256, 512)).astype(np.float32)
+    wt = w.wt.wavelet(w.wt.db4)
+    with pltpu.force_tpu_interpret_mode():
+        ll, lh, hl, hh = M.mxu_level_fw_quads(jnp.asarray(x), wt)
+        y = np.block([[np.asarray(ll), np.asarray(lh)],
+                      [np.asarray(hl), np.asarray(hh)]])
+    outs = {}
+    for body in ("v1", "v2"):
+        monkeypatch.setenv("WAVELETS_TPU_MXU_INV_BODY", body)
+        with pltpu.force_tpu_interpret_mode():
+            outs[body] = np.asarray(M.mxu_inv_packed(
+                jnp.asarray(y), jnp.asarray(np.asarray(ll)), (256, 512), wt))
+    assert np.abs(outs["v1"] - outs["v2"]).max() < 3e-5
+    assert np.abs(outs["v2"] - x).max() < 2e-4
 
 
 def test_mxu_packed_last_level_streams_ll():

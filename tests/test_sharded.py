@@ -199,3 +199,38 @@ def test_sharded_factored_lifting_small_shards():
     assert np.abs(got - ref).max() < 1e-10
     back = np.asarray(parallel.idwt2(jnp.asarray(got), wt, 1, mesh))
     assert np.abs(back - x).max() < 1e-10
+
+
+def test_tail_policy_model_and_override(mesh, monkeypatch):
+    """The deep-tail switch is driven by the α-β cost model
+    (parallel/costmodel.py): on the ici/dcn presets halo wins at every
+    reachable level (switch = L+1, matching the measured MODWT
+    crossover), and WAVELETS_TPU_SHARD_TAIL_LEVEL forces an earlier
+    gather switch without changing results."""
+    from wavelets_tpu.parallel.costmodel import (SCENARIOS,
+                                                 tail_switch_level, project)
+    for name in ("ici", "dcn"):
+        sc = SCENARIOS[name]
+        assert tail_switch_level(32768, 16384, 4, 4, 2, 8, sc) == 9, name
+        proj = project(32768, 16384, 8, 4, 4, 2, sc)
+        assert all(r["policy"] == "halo" for r in proj["levels"]), name
+        assert 0.0 < proj["weak_scaling_efficiency"] <= 1.0
+    # dcn clears the BASELINE >=90% weak-scaling bar in projection
+    assert project(32768, 16384, 8, 4, 4, 2,
+                   SCENARIOS["dcn"])["weak_scaling_efficiency"] >= 0.90
+
+    # forcing the switch at level 3 reroutes deep levels to the gather
+    # fallback and must be bit-compatible with the default path.
+    # distinctive shape: _dwt_sharded_jit caches on (shape, wt, L, mesh)
+    # and the env is read at trace time, so reusing another test's
+    # signature would silently test the cached default trace
+    rng = np.random.default_rng(63)
+    x = rng.standard_normal((160, 32))
+    wt = w.wt.wavelet(w.wt.ALL_CLASSES["db2"], "lifting")
+    ref = np.asarray(w.dwt(x, wt, 4))
+    monkeypatch.setenv("WAVELETS_TPU_SHARD_TAIL_LEVEL", "3")
+    xs = parallel.shard_rows(x, mesh)
+    ys = parallel.dwt2(xs, wt, 4, mesh)
+    assert np.allclose(np.asarray(ys), ref, atol=1e-11)
+    xr = parallel.idwt2(ys, wt, 4, mesh)
+    assert np.allclose(np.asarray(xr), x, atol=1e-11)

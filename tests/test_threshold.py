@@ -193,3 +193,36 @@ def test_prune_device_matches_host_reference():
                   for d in range(D)]
         dev = prune_tree_device(tree, levels, jnp.asarray(af))
         assert np.array_equal(host, dev), (trial, D)
+
+
+def test_ti_spin_host_loop_matches_vmap_path():
+    """The TPU kernel-route TI path (host loop over _ti_spin_add with
+    dynamic_slice rolls of pre-padded buffers) must reproduce the
+    vmapped jnp.roll formulation exactly — both orderings sum the same
+    spins (VERDICT r4 item 5 rewrite; the traced-shift jnp.roll gather
+    was ~70 ms/spin of the round-4 capture)."""
+    import jax
+    import jax.numpy as jnp
+    from wavelets_tpu.threshold.denoise import (_ti_spin_add, noisest,
+                                                VisuShrink, _spin_shifts)
+    rng = np.random.default_rng(99)
+    x = rng.standard_normal((64, 64)).astype(np.float64)
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    L, nspin = 3, (4, 4)
+    ref = np.asarray(w.denoise(x, wt, L=L, TI=True, nspin=nspin))
+
+    dnt = VisuShrink.for_length(x.shape[0])
+    t = noisest(jnp.asarray(x), wt) * dnt.t
+    shifts = _spin_shifts(nspin, 2)
+    smax = tuple(s - 1 for s in nspin)
+    xp = jnp.asarray(x)
+    for ax, s in enumerate(smax):
+        head = jax.lax.slice_in_dim(xp, xp.shape[ax] - s, xp.shape[ax],
+                                    axis=ax)
+        xp = jnp.concatenate([head, xp], axis=ax)
+    acc = jnp.zeros_like(jnp.asarray(x))
+    for sh in shifts:
+        acc = _ti_spin_add(acc, xp, jnp.asarray(sh, jnp.int32), t, wt,
+                           L, dnt.th, smax, x.shape)
+    got = np.asarray(acc) / len(shifts)
+    assert np.allclose(got, ref, atol=1e-12)

@@ -476,10 +476,15 @@ def _axis0_blk(tm: int, halo: int, dtype, fw: bool) -> int:
     fw 2.03 -> 1.60 ms / inv 2.52 -> 1.56; bf16 fw 1.07 -> 0.79 / inv
     1.54 -> 0.81 — all four AT the same-session DMA floor; dwt3 256^3
     pipeline 1.29 -> 1.15 ms.  Defaults 16 fw / 32 inv; the same
-    WAVELETS_TPU_MXU_COLBLK env overrides both layers."""
+    WAVELETS_TPU_MXU_COLBLK env overrides both layers (per-direction
+    WAVELETS_TPU_MXU_COLBLK_FW / _INV take precedence, as in
+    mxu2d._col_blk — ADVICE r4)."""
     import os
     from .common import halo_granule
-    ov = os.environ.get("WAVELETS_TPU_MXU_COLBLK")
+    ov = os.environ.get("WAVELETS_TPU_MXU_COLBLK_FW" if fw
+                        else "WAVELETS_TPU_MXU_COLBLK_INV")
+    if ov is None:
+        ov = os.environ.get("WAVELETS_TPU_MXU_COLBLK")
     q = int(ov) if ov is not None else (16 if fw else 32)
     g = halo_granule(dtype)
     if fw:

@@ -349,6 +349,14 @@ def _row_margin(wt, fw: bool = True) -> int:
     return min(128, roundup(max(lo, hi, lo2, hi2, 1), 16 if fw else 32))
 
 
+def _v5() -> bool:
+    """v1's S/D/V assembly chain collapsed to ONE concat (the only v4
+    change that does not involve batched window stacking).  Part of the
+    round-5 glue probes (benchmarks/ab/body_v4.py)."""
+    import os
+    return os.environ.get("WAVELETS_TPU_MXU_BODY", "v1") == "v5"
+
+
 def _mxu_body_version() -> str:
     """Forward compute-body structure.
 
@@ -592,6 +600,67 @@ def _fw_quads_body_v3(ins, wr_ref, wc2_ref, *, tm, hm, mode, gl, m=_HN):
     return (Y[:tm2, :hf], Y[:tm2, hf:], Y[tm2:, :hf], Y[tm2:, hf:])
 
 
+def _fw_quads_body_v4(ins, wr_ref, wc_ref, *, tm, mode, gl, m=_HN, hm=None,
+                      blk=0):
+    """v1 with the per-window row-dot storm replaced by ONE batched dot.
+
+    v1 pays, per grid step, nj (= tn/gl) small row dots each preceded by
+    a split3cat K-concat of its window — ~nj×(tm+2hm, 3·(gl+2m)) of VMEM
+    concat writes plus nj MXU pipeline fills.  v4 stacks the window
+    slices of the (already split) extended tile along M into one
+    (nj·(tm+2hm), gl+2m) operand and runs THREE big split3 dots (no
+    K-cat at all; bf16 runs one).  The S/D/V assembly chain (S concat +
+    D concat + V concat = 2 tile passes) also collapses to a single
+    [all-s-halves | all-d-halves] concat (1 pass).  Column stage
+    identical to v1 (blocked or full).  Round-5 device A/Bs:
+    benchmarks/ab/body_v4.py."""
+    nw, nn, ne, ww, cc, ee, sw, ss, se = ins
+    top = jnp.concatenate([nw[:], nn[:], ne[:]], axis=1)
+    mid = jnp.concatenate([ww[:], cc[:], ee[:]], axis=1)
+    bot = jnp.concatenate([sw[:], ss[:], se[:]], axis=1)
+    ext = jnp.concatenate([top, mid, bot], axis=0)   # (tm + 2hm, tn + 256)
+    tn = ext.shape[1] - 256
+    rows = ext.shape[0]
+    nj = tn // gl
+    w_ = gl + 2 * m
+    off = _HN - m
+    split = mode in ("split3", "split3cat")
+
+    def stackw(E):
+        return jnp.concatenate(
+            [E[:, gl * j + off: gl * j + off + w_] for j in range(nj)],
+            axis=0)                                  # (nj·rows, w_)
+
+    wr = wr_ref[:]
+    if split:
+        eh, el = _split_bf16(ext)
+        A2h, A2l = stackw(eh), stackw(el)
+        wrh, wrl = _split_bf16(wr)
+        Y2 = (jnp.dot(A2h, wrh, preferred_element_type=jnp.float32)
+              + jnp.dot(A2h, wrl, preferred_element_type=jnp.float32)
+              + jnp.dot(A2l, wrh, preferred_element_type=jnp.float32))
+    elif mode == "highest":
+        Y2 = jnp.dot(stackw(ext), wr, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    else:
+        Y2 = jnp.dot(stackw(ext), wr, preferred_element_type=jnp.float32)
+    half = gl // 2
+    V = jnp.concatenate(
+        [Y2[k * rows:(k + 1) * rows, :half] for k in range(nj)]
+        + [Y2[k * rows:(k + 1) * rows, half:] for k in range(nj)],
+        axis=1).astype(ext.dtype)                    # (rows, tn), [S | D]
+
+    if blk:
+        Y = _col_dot_blocked(_pair(wc_ref[:], mode), _pair(V, mode),
+                             mode=mode, q=blk, hm=hm, tm=tm, dt=ext.dtype)
+    else:
+        Y = _dot_f32(_pair(wc_ref[:], mode), _pair(V, mode), mode)
+        Y = Y.astype(ext.dtype)
+    tm2 = tm // 2
+    hf = tn // 2
+    return (Y[:tm2, :hf], Y[:tm2, hf:], Y[tm2:, :hf], Y[tm2:, hf:])
+
+
 def _col_blk(dtype=None, fw: bool = True) -> int:
     """Block size q (in output POSITIONS) of the block-shared column dot.
 
@@ -621,10 +690,17 @@ def _col_blk(dtype=None, fw: bool = True) -> int:
     reassociation only (3e-5 class; bf16 exact) — an earlier
     'miscompile' reading was an uninitialized-LL-quadrant comparison
     artifact, retracted in BENCHMARKS.md.  Override with
-    WAVELETS_TPU_MXU_COLBLK in {0, 16, 32, 64} (interpret-mode
-    equivalence pinned by tests/test_mxu2d.py::test_mxu_col_blocked_*)."""
+    WAVELETS_TPU_MXU_COLBLK in {0, 16, 32, 64}; the per-direction
+    WAVELETS_TPU_MXU_COLBLK_FW / _INV take precedence (ADVICE r4: the
+    shared knob forces one block size onto four distinct paths whose
+    measured optima differ — e.g. q=16 is the fw default but an 18%
+    regression on the f32 2-D inverse).  Interpret-mode equivalence is
+    pinned by tests/test_mxu2d.py::test_mxu_col_blocked_*."""
     import os
-    ov = os.environ.get("WAVELETS_TPU_MXU_COLBLK")
+    ov = os.environ.get("WAVELETS_TPU_MXU_COLBLK_FW" if fw
+                        else "WAVELETS_TPU_MXU_COLBLK_INV")
+    if ov is None:
+        ov = os.environ.get("WAVELETS_TPU_MXU_COLBLK")
     if ov is not None:
         return int(ov)
     if fw:
@@ -701,11 +777,18 @@ def _fw_quads_body(ins, wr_ref, wc_ref, *, tm, mode, gl, m=_HN, hm=None,
 
     pieces = [_dot_f32(win(ext_p, j), wr, mode)
               for j in range(tn // gl)]
-    S = jnp.concatenate([p[:, : gl // 2] for p in pieces], axis=1)
-    D = jnp.concatenate([p[:, gl // 2:] for p in pieces], axis=1)
     # dots accumulate in f32; for bf16 inputs the intermediate V is cast
     # back to the array dtype (mixed-dtype dots don't lower)
-    V = jnp.concatenate([S, D], axis=1).astype(ext.dtype)
+    if _v5():
+        # one [all-s-halves | all-d-halves] concat instead of the
+        # S-concat + D-concat + V-concat chain (saves ~1 tile pass)
+        V = jnp.concatenate([p[:, : gl // 2] for p in pieces]
+                            + [p[:, gl // 2:] for p in pieces],
+                            axis=1).astype(ext.dtype)
+    else:
+        S = jnp.concatenate([p[:, : gl // 2] for p in pieces], axis=1)
+        D = jnp.concatenate([p[:, gl // 2:] for p in pieces], axis=1)
+        V = jnp.concatenate([S, D], axis=1).astype(ext.dtype)
 
     if blk:
         Y = _col_dot_blocked(_pair(wc_ref[:], mode), _pair(V, mode),
@@ -724,6 +807,9 @@ def _quads_any_body(ins, wr_ref, wc_ref, *, tm, hm, mode, gl, m, body,
     if body == "v3":
         return _fw_quads_body_v3(ins, wr_ref, wc_ref, tm=tm, hm=hm,
                                  mode=mode, gl=gl, m=m)
+    if body == "v4":
+        return _fw_quads_body_v4(ins, wr_ref, wc_ref, tm=tm, mode=mode,
+                                 gl=gl, m=m, hm=hm, blk=blk)
     return _fw_quads_body(ins, wr_ref, wc_ref, tm=tm, mode=mode, gl=gl, m=m,
                           hm=hm, blk=blk)
 
@@ -758,8 +844,8 @@ def _pick_col_blk(tm: int, hm: int, body: str, dtype) -> int:
     """Validated block size for the block-shared column dot (0 = off):
     blocks must tile tm, slices must stay sublane-granule-aligned, and
     q = tm/2 is the full-width dot itself (allowed — same math, smaller
-    weight).  Only the v1 body routes through it."""
-    if body != "v1":
+    weight).  Only the v1/v4/v5 bodies route through it."""
+    if body not in ("v1", "v4", "v5"):
         return 0
     q = min(_col_blk(dtype, fw=True), tm // 2)
     from .common import halo_granule
@@ -918,12 +1004,16 @@ def _plan_inv(ml: int, nl: int, wt, dtype):
     mh, nh = ml // 2, nl // 2
     import os
     tn_env = os.environ.get("WAVELETS_TPU_MXU_INV_TN")
-    cands = (4096, 2048, 1024, 512, 256)
+    cands = (8192, 4096, 2048, 1024, 512, 256)
     # a single lane granule is still correct: its periodic neighbor is
     # itself (whole quadrant row in one tile)
     if nh % hn2 or nh // hn2 < 1:
         return None
-    tm = 128
+    # taller inverse tiles are the axis-0 lesson's 2-D analogue (tall
+    # tiles grow the dense col-dot K, which blocking then cuts —
+    # axis0._axis0_blk landed every direction/dtype on the DMA floor);
+    # 128 stays the validated default, override for A/Bs
+    tm = int(os.environ.get("WAVELETS_TPU_MXU_INV_TM", "128"))
     while tm >= 4 * hm2:
         tm2 = tm // 2
         if ml % tm == 0 and tm2 % hm2 == 0 and mh % hm2 == 0:
@@ -941,8 +1031,9 @@ def _plan_inv(ml: int, nl: int, wt, dtype):
         # exceeds ~2x the measured gate instead of compiling them.
         tno = int(tn_env)
         tno2 = tno // 2
-        est = (4 * (tm // 2 + 2 * hm2) * (tno2 + 256) * 4 * 2
-               + 2 * tm * (tno2 + 256) * 4 * 2 + 2 * tm * tno * 4)
+        isz = np.dtype(dtype).itemsize
+        est = (4 * (tm // 2 + 2 * hm2) * (tno2 + 256) * isz * 2
+               + 2 * tm * (tno2 + 256) * isz * 2 + 2 * tm * tno * isz)
         if est <= 2 * (19 << 20):
             return tm, tno, hm2, hn2
         import warnings
@@ -955,18 +1046,220 @@ def _plan_inv(ml: int, nl: int, wt, dtype):
     # split pair live at a time, no [s;d]-stacked copy) every stock
     # wavelet compiles at tn=4096 — device-probed up to hm2=32 (batt6)
     # f32+bf16, 18.2 MB in this formula's units; the limit keeps the
-    # measured envelope and drops down the ladder beyond it
+    # measured envelope and drops down the ladder beyond it.  The
+    # formula is ITEMSIZE-aware (round 5): at bf16 the halved operand
+    # bytes admit tn=8192, which the knobs A/B measured at 2.744 vs
+    # 2.990 ms on the full 16k² L8 idwt2 (sol ≈ 0.84, device-verified
+    # compile); f32 tn=8192 estimates 28 MB and stays rejected (its
+    # forced compile OOMs — benchmarks/ab/body_v4.py knobs stage).
+    isz = np.dtype(dtype).itemsize
     for tn in (c for c in cands if nl % c == 0):
         tn2 = tn // 2
-        ext_b = 4 * (tm // 2 + 2 * hm2) * (tn2 + 256) * 4
-        x_b = 2 * tm * (tn2 + 256) * 4
-        if ext_b * 2 + x_b * 2 + 2 * tm * tn * 4 <= (19 << 20):
+        ext_b = 4 * (tm // 2 + 2 * hm2) * (tn2 + 256) * isz
+        x_b = 2 * tm * (tn2 + 256) * isz
+        if ext_b * 2 + x_b * 2 + 2 * tm * tn * isz <= (19 << 20):
             return tm, tn, hm2, hn2
     return None
 
 
 def mxu_inv_ok(ml: int, nl: int, wt, dtype) -> bool:
     return _plan_inv(ml, nl, wt, dtype) is not None
+
+
+def _mxu_inv_body_version() -> str:
+    """Inverse compute-body structure (WAVELETS_TPU_MXU_INV_BODY).
+
+    ``v1`` materializes four (E, W) halo-extended quadrant operands (4×
+    [lane concats + vertical concat + hi/lo split]) and runs the row
+    synthesis as nj per-window dots, each preceded by 3 window concats
+    and a split3cat K-concat — the ~1.3 ms of in-kernel VPU glue the
+    round-4 decomposition localized (benchmarks/ab/inv_structure.py).
+    ``v2`` (a) K-splits the column dots into [mid | top|bot] chunks so
+    the vertical ext concat is never materialized (the mid band is one
+    lane concat of the w/c/e refs; top|bot is a tiny 2hm2-row band), and
+    (b) stacks the row-dot windows along M into one (nj·tm, 2wv) operand
+    and runs THREE big split3 dots (one for bf16) — no per-window
+    concats.  With a blocked column dot (blk>0, the bf16 default) v2
+    keeps v1's materialized ext for the column stage and only the row
+    stage changes.  ``v2c`` = K-split col only (v1 row); ``v2r`` =
+    batched row only (v1 col).  Round-5 device A/Bs (670-710 GB/s
+    sessions, benchmarks/ab/body_v4.py): the restructures LOSE —
+    level-1 16k² inv f32 v1 7.48 ms vs v2 8.19; bf16 v1 3.87 vs v2
+    3.97 — the per-window small concats are cheaper on this VPU than
+    building the big stacked operands; they stay env-reachable as
+    measured negative results.  ``v6`` K-stacks the two column dots per
+    half into one ([top_a;mid_a;bot_a;top_b;mid_b;bot_b] against the
+    host-stacked (tm, 2E) weight — the pre-round-3 stacked formulation,
+    which now fits VMEM at small halos): measured WIN, full 16k² L8
+    idwt2 f32 6.18 -> 5.95 ms at a 645 GB/s session.  Default ``auto``
+    = v6 where the stacked live set is inside the device-verified
+    compile envelope (hm2 <= 16 at tn = 4096 f32 compiles; hm2 = 32
+    OOMs — batt6 keeps v1), v1 elsewhere (incl. every blk > 0 path)."""
+    import os
+    return os.environ.get("WAVELETS_TPU_MXU_INV_BODY", "auto")
+
+
+def _inv_row_batched(Xs, Xd, wr_ref, o_ref, *, nj, mode, gl, m):
+    """Batched row-synthesis stage shared by the v2 inverse body."""
+    g2 = gl // 2
+    wv = g2 + 2 * m
+    off = _HN - m
+    tm = o_ref.shape[0]
+
+    def stack(S, D):
+        return jnp.concatenate(
+            [jnp.concatenate([S[:, g2 * j + off: g2 * j + off + wv],
+                              D[:, g2 * j + off: g2 * j + off + wv]],
+                             axis=1)
+             for j in range(nj)], axis=0)            # (nj·tm, 2wv)
+
+    if mode in ("split3", "split3cat"):
+        sh, sl_ = _split_bf16(Xs)
+        dh, dl = _split_bf16(Xd)
+        A2h = stack(sh, dh)
+        A2l = stack(sl_, dl)
+        wrh, wrl = _split_bf16(wr_ref[:])
+        Y2 = (jnp.dot(A2h, wrh, preferred_element_type=jnp.float32)
+              + jnp.dot(A2h, wrl, preferred_element_type=jnp.float32)
+              + jnp.dot(A2l, wrh, preferred_element_type=jnp.float32))
+    else:
+        dt = o_ref.dtype
+        A2 = stack(Xs.astype(dt), Xd.astype(dt))
+        if mode == "highest":
+            Y2 = jnp.dot(A2, wr_ref[:], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        else:
+            Y2 = jnp.dot(A2, wr_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = jnp.concatenate(
+        [Y2[j * tm:(j + 1) * tm] for j in range(nj)],
+        axis=1).astype(o_ref.dtype)
+
+
+def _mxu_inv_kernel_v6(*refs, nj, mode, gl, m, hm2, blk=0):
+    """v1 with the two column dots per half K-STACKED into one: the
+    operand is the 6-piece concat [top_a; mid_a; bot_a; top_b; mid_b;
+    bot_b] (same total concat bytes as v1's two 3-piece exts) against
+    the host-stacked (tm, 2E) weight — one dot per half instead of two,
+    and the Xa + Xb add pass disappears.  Row stage is v1's."""
+    groups = [refs[9 * k: 9 * (k + 1)] for k in range(4)]
+    wc_ref, wr_ref = refs[36], refs[37]
+    o_ref = refs[38]
+    wc = _pair(wc_ref[:], mode)
+
+    def col(ga, gb):
+        rows = []
+        for g in (ga, gb):
+            nw, nn, ne, ww, cc, ee, sw, ss, se = g
+            rows += [jnp.concatenate([nw[:], nn[:], ne[:]], axis=1),
+                     jnp.concatenate([ww[:], cc[:], ee[:]], axis=1),
+                     jnp.concatenate([sw[:], ss[:], se[:]], axis=1)]
+        ext2 = jnp.concatenate(rows, axis=0)        # (2E, W)
+        return _dot_f32(wc, _pair(ext2, mode), mode)
+
+    Xs = col(groups[0], groups[2])
+    Xd = col(groups[1], groups[3])
+    dt = o_ref.dtype
+    _inv_row_windows(Xs.astype(dt), Xd.astype(dt), wr_ref, o_ref,
+                     nj=nj, mode=mode, gl=gl, m=m)
+
+
+def _inv_row_windows(Xs, Xd, wr_ref, o_ref, *, nj, mode, gl, m):
+    """The v1 per-window row-synthesis stage (split once, slice + concat
+    per window, one dot per window)."""
+    wr = _pair(wr_ref[:], mode)
+    Xs_p = _pair(Xs, mode)
+    Xd_p = _pair(Xd, mode)
+    wv = gl // 2 + 2 * m
+    off = _HN - m       # ext offset of window j = (gl/2)·j + off
+
+    def win(p, j):
+        a, (hi, lo) = p
+        g2 = gl // 2
+        sl = (slice(None), slice(g2 * j + off, g2 * j + off + wv))
+        return a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None))
+
+    def wincat(j):
+        sa, (sh, sl_) = win(Xs_p, j)
+        da, (dh, dl) = win(Xd_p, j)
+        a = jnp.concatenate([sa, da], axis=1)
+        if sh is None:
+            return a, (None, None)
+        return a, (jnp.concatenate([sh, dh], axis=1),
+                   jnp.concatenate([sl_, dl], axis=1))
+
+    pieces = [_dot_f32(wincat(j), wr, mode) for j in range(nj)]
+    o_ref[:] = jnp.concatenate(pieces, axis=1).astype(o_ref.dtype)
+
+
+def _mxu_inv_kernel_v2(*refs, nj, mode, gl, m, hm2, blk=0, row="batched",
+                       ksplit=True):
+    groups = [refs[9 * k: 9 * (k + 1)] for k in range(4)]
+    if not ksplit:
+        wcs_ref, wcd_ref, wr_ref = refs[36], refs[37], refs[38]
+        o_ref = refs[39]
+        wc_s = _pair(wcs_ref[:], mode)
+        wc_d = _pair(wcd_ref[:], mode)
+
+        def ext(g):
+            nw, nn, ne, ww, cc, ee, sw, ss, se = g
+            top = jnp.concatenate([nw[:], nn[:], ne[:]], axis=1)
+            mid = jnp.concatenate([ww[:], cc[:], ee[:]], axis=1)
+            bot = jnp.concatenate([sw[:], ss[:], se[:]], axis=1)
+            return jnp.concatenate([top, mid, bot], axis=0)
+
+        def col(ga, gb):
+            if blk:
+                pa = _inv_col_dot_blocked(wc_s, _pair(ext(ga), mode),
+                                          mode=mode, blk=blk, hm2=hm2)
+                pb = _inv_col_dot_blocked(wc_d, _pair(ext(gb), mode),
+                                          mode=mode, blk=blk, hm2=hm2)
+                return jnp.concatenate([a + b for a, b in zip(pa, pb)],
+                                       axis=0)
+            return (_dot_f32(wc_s, _pair(ext(ga), mode), mode)
+                    + _dot_f32(wc_d, _pair(ext(gb), mode), mode))
+    else:
+        (wcsm_ref, wcstb_ref, wcdm_ref, wcdtb_ref, wr_ref) = refs[36:41]
+        o_ref = refs[41]
+        wsm = _pair(wcsm_ref[:], mode)
+        wstb = _pair(wcstb_ref[:], mode)
+        wdm = _pair(wcdm_ref[:], mode)
+        wdtb = _pair(wcdtb_ref[:], mode)
+
+        def half(g, wm, wtb):
+            nw, nn, ne, ww, cc, ee, sw, ss, se = g
+            mid = jnp.concatenate([ww[:], cc[:], ee[:]], axis=1)
+            tb = jnp.concatenate([
+                jnp.concatenate([nw[:], nn[:], ne[:]], axis=1),
+                jnp.concatenate([sw[:], ss[:], se[:]], axis=1)], axis=0)
+            return (_dot_f32(wm, _pair(mid, mode), mode)
+                    + _dot_f32(wtb, _pair(tb, mode), mode))
+
+        def col(ga, gb):
+            return half(ga, wsm, wstb) + half(gb, wdm, wdtb)   # f32 (tm, W)
+
+    Xs = col(groups[0], groups[2])      # ll, hl -> scaling columns
+    Xd = col(groups[1], groups[3])      # lh, hh -> detail columns
+    if row == "batched":
+        _inv_row_batched(Xs, Xd, wr_ref, o_ref, nj=nj, mode=mode, gl=gl, m=m)
+    else:
+        dt = o_ref.dtype    # v1's row stage expects X in the array dtype
+        _inv_row_windows(Xs.astype(dt), Xd.astype(dt), wr_ref, o_ref,
+                         nj=nj, mode=mode, gl=gl, m=m)
+
+
+def _w_col_inv_ksplit(wt, tm, hm2, dtype):
+    """The v2 inverse column weights, K-split at the host: (wcs_mid,
+    wcs_tb, wcd_mid, wcd_tb) where *_mid is the (tm, tm/2) interior-rows
+    chunk and *_tb the (tm, 2hm2) [top-halo | bottom-halo] chunk, in the
+    K order of the v2 body's band operands."""
+    wc = _w_col_inv(wt, tm, hm2, dtype)
+    E = wc.shape[1] // 2
+    out = []
+    for half in (wc[:, :E], wc[:, E:]):
+        out.append(half[:, hm2:E - hm2])
+        out.append(jnp.concatenate([half[:, :hm2], half[:, E - hm2:]],
+                                   axis=1))
+    return tuple(out)
 
 
 def _mxu_inv_kernel(*refs, nj, mode, gl, m, hm2=None, blk=0):
@@ -1006,31 +1299,7 @@ def _mxu_inv_kernel(*refs, nj, mode, gl, m, hm2=None, blk=0):
 
     Xs = col(groups[0], groups[2])      # ll, hl -> scaling columns
     Xd = col(groups[1], groups[3])      # lh, hh -> detail columns
-
-    wr = _pair(wr_ref[:], mode)
-    Xs_p = _pair(Xs, mode)
-    Xd_p = _pair(Xd, mode)
-
-    wv = gl // 2 + 2 * m
-    off = _HN - m       # ext offset of window j = (gl/2)·j + off
-
-    def win(p, j):
-        a, (hi, lo) = p
-        g2 = gl // 2
-        sl = (slice(None), slice(g2 * j + off, g2 * j + off + wv))
-        return a[sl], ((hi[sl], lo[sl]) if hi is not None else (None, None))
-
-    def wincat(j):
-        sa, (sh, sl_) = win(Xs_p, j)
-        da, (dh, dl) = win(Xd_p, j)
-        a = jnp.concatenate([sa, da], axis=1)
-        if sh is None:
-            return a, (None, None)
-        return a, (jnp.concatenate([sh, dh], axis=1),
-                   jnp.concatenate([sl_, dl], axis=1))
-
-    pieces = [_dot_f32(wincat(j), wr, mode) for j in range(nj)]
-    o_ref[:] = jnp.concatenate(pieces, axis=1).astype(o_ref.dtype)
+    _inv_row_windows(Xs, Xd, wr_ref, o_ref, nj=nj, mode=mode, gl=gl, m=m)
 
 
 def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
@@ -1055,16 +1324,35 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
         blk //= 2
     if blk < 8:
         blk = 0
-    wc = _w_col_inv(wt, 2 * blk if blk else tm, hm2, dt)
-    E = wc.shape[1] // 2
-    wcs, wcd = wc[:, :E], wc[:, E:]     # host-side split: no in-kernel
-    in_specs += [                       # non-128-aligned lane slicing
-        pl.BlockSpec(wcs.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(wcd.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(wr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-    ]
+    body = _mxu_inv_body_version()
+    if body == "auto":
+        # stacked-operand envelope: hm2=16 @ (tn=4096, f32) compiles
+        # (metric 147k), hm2=32 OOMs (295k) — boundary at 150k
+        fits = hm2 * (tn // 2 + 256) * np.dtype(dt).itemsize <= 150_000
+        body = "v6" if (not blk and fits) else "v1"
+    v6 = body == "v6" and not blk
+    ksplit = body in ("v2", "v2c") and not blk
+    row = "batched" if body in ("v2", "v2r") else "win"
+    if ksplit:
+        weights = list(_w_col_inv_ksplit(wt, tm, hm2, dt)) + [wr]
+    elif v6:
+        weights = [_w_col_inv(wt, tm, hm2, dt), wr]   # K-stacked [s | d]
+    else:
+        wc = _w_col_inv(wt, 2 * blk if blk else tm, hm2, dt)
+        E = wc.shape[1] // 2
+        weights = [wc[:, :E], wc[:, E:], wr]   # host-side split: no
+    in_specs += [                              # in-kernel non-128-aligned
+        pl.BlockSpec(wgt.shape, lambda i, j: (0, 0),   # lane slicing
+                     memory_space=pltpu.VMEM)
+        for wgt in weights]
+    if v6:
+        kern = _mxu_inv_kernel_v6
+    elif ksplit or row == "batched":
+        kern = partial(_mxu_inv_kernel_v2, row=row, ksplit=ksplit)
+    else:
+        kern = _mxu_inv_kernel
     return pl.pallas_call(
-        partial(_mxu_inv_kernel, nj=(tn // 2) // (gl // 2),
+        partial(kern, nj=(tn // 2) // (gl // 2),
                 mode=_mode_for(dt), gl=gl, m=mr, hm2=hm2, blk=blk),
         grid=(ml // tm, nl // tn),
         in_specs=in_specs,
@@ -1072,7 +1360,7 @@ def _mxu_inv_call(plan, srcs, offs, ml, nl, wt):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ml, nl), dt),
         compiler_params=_sem(2),
-    )(*inputs, wcs, wcd, wr)
+    )(*inputs, *weights)
 
 
 def mxu_inv_quads(ll, lh, hl, hh, wt):

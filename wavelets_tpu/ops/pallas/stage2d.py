@@ -269,7 +269,12 @@ def stage2_fw(x, y, yshape, wt, last=False):
     streams into the packed buffer like mxu_level_fw_packed_last)."""
     ml, nl = x.shape
     M, N = yshape
-    assert (ml, nl) == (M, N), "fused stage runs at level 1 only"
+    if (ml, nl) != (M, N):
+        # not an assert: stripped under python -O, and a sub-level shape
+        # would silently mis-place DMA quadrants instead of failing
+        raise ValueError(
+            f"stage2_fw runs at level 1 only: active {(ml, nl)} must "
+            f"equal the packed buffer {(M, N)}")
     tm, tn, hs, r, mr = _stage_plan(ml, nl, wt, x.dtype)
     gl = _row_gl(tn)
     mode = _mode_for(x.dtype)

@@ -414,6 +414,20 @@ def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw):
         return _dwt_impl(x, wt, L, x.ndim, fw)
     shape = x.shape
     halo = _halo_rows(wt)
+    # deep-tail policy: halo while the α-β cost model prefers it (it
+    # does at every reachable level on both ici and dcn presets —
+    # SCALING_r05.json; the measured MODWT crossover agrees), gather
+    # (the global-formulation fallback) beyond.  Env overrides:
+    # WAVELETS_TPU_SHARD_TAIL_LEVEL pins the switch level directly,
+    # WAVELETS_TPU_SHARD_SCENARIO picks the transport preset.
+    import os
+    from math import prod
+    from .costmodel import SCENARIOS, tail_switch_level
+    sc = SCENARIOS.get(os.environ.get("WAVELETS_TPU_SHARD_SCENARIO", "ici"),
+                       SCENARIOS["ici"])
+    switch = tail_switch_level(
+        shape[0], max(1, prod(shape[1:])), np.dtype(x.dtype).itemsize,
+        halo, nd, L, sc)
 
     if isinstance(wt, OrthoFilter):
         h, g = filter_fb.filter_pair(wt)
@@ -439,7 +453,7 @@ def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw):
             sub = tuple(s >> l for s in shape)
             idx = tuple(slice(0, s) for s in sub)
             active = y[idx]
-            if _can_shard(sub[0], nd, halo):
+            if l + 1 < switch and _can_shard(sub[0], nd, halo):
                 top, bot = fw_shard(active)
                 out = jnp.concatenate([top, bot], axis=0)
             else:
@@ -450,7 +464,7 @@ def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw):
         sub = tuple(s >> (l - 1) for s in shape)
         idx = tuple(slice(0, s) for s in sub)
         active = y[idx]
-        if _can_shard(sub[0], nd, halo):
+        if l < switch and _can_shard(sub[0], nd, halo):
             out = inv_shard(active[: sub[0] // 2], active[sub[0] // 2:])
         else:
             out = _level_inv_global(active, wt)
