@@ -194,6 +194,22 @@ def main():
                  lambda v: _dwt_jit(v, wt, levels, 2, False), y2)
         else:
             out["idwt2_16k_L8_ms"] = None
+        # inverse sol vs the same 2-pass-x-4/3 roofline as the forward
+        # (read packed + write full per level, geometric over levels)
+        if out.get("idwt2_16k_L8_ms"):
+            out["idwt2_sol_fraction"] = round(
+                sol / (out["idwt2_16k_L8_ms"] * 1e-3), 3)
+        # bf16 inverse companion (VERDICT r4 item 3 asks for both
+        # directions; rides the tn=8192 bf16 tiles)
+        try:
+            yb2 = _dwt_jit(x.astype(jnp.bfloat16), wt, levels, 2, True)
+            _try("idwt2_bf16_16k_L8_ms",
+                 lambda v: _dwt_jit(v, wt, levels, 2, False), yb2)
+            if out.get("idwt2_bf16_16k_L8_ms") and "bf16_sol_fraction" in out:
+                out["idwt2_bf16_sol_fraction"] = round(
+                    solb / (out["idwt2_bf16_16k_L8_ms"] * 1e-3), 3)
+        except Exception:
+            out["idwt2_bf16_16k_L8_ms"] = None
 
         # App metrics run LAST (and can be skipped with WAVELETS_TPU_BENCH_APPS=0):
         # their graphs carry the largest fresh-compile risk on this

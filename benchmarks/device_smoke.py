@@ -127,6 +127,40 @@ def main():
     check("dwt1_filter", lambda: rt(x1, wf, 6))
     check("dwt1_lifting", lambda: rt(x1, wl, 6))
     check("dwt1_factored_lifting", lambda: rt(x1, wfac, 4))
+
+    # Factored-scheme property sweep (VERDICT r4 item 8): every non-batt
+    # orthonormal class rides the device kernels — f32 1-D + 2-D round
+    # trips and the cross-engine check (lifting-factored vs filter
+    # coefficients of the same class).  batt* is the documented refusal
+    # (truncated IIR, det != 1 — wt/factor.py).
+    xf1 = rng.standard_normal(1 << 13).astype(np.float32)
+    xf2 = rng.standard_normal((256, 256)).astype(np.float32)
+    for cname, cls in sorted(w.wt.ALL_CLASSES.items()):
+        if cname.startswith("batt") or cname in ("haar", "cdf97"):
+            continue        # haar/cdf97 ride stock schemes, not the
+            # factorization; batt* is refused (see above)
+        def _fam(cls=cls):
+            try:
+                wlf = w.wt.wavelet(cls, "lifting")
+                wff = w.wt.wavelet(cls, "filter")
+                e1 = rt(xf1, wlf, 3)
+                e2 = rt(xf2, wlf, 2)
+                # cross-engine: factored lifting must produce the filter
+                # bank's coefficients (same class, same transform)
+                ylf = w.dwt(jnp.asarray(xf1), wlf, 3)
+                yff = w.dwt(jnp.asarray(xf1), wff, 3)
+                scale = float(jnp.max(jnp.abs(yff)))
+                ex = jnp.max(jnp.abs(ylf - yff)) / scale
+                return jnp.maximum(jnp.maximum(e1, e2), ex)
+            except ValueError as e:
+                if "numerically unstable" in str(e):
+                    # the documented f32 stability refusal (vaid:
+                    # commit 0d806c6) — a correct gate, not a failure
+                    print(f"REFUSED(f32-stability-gate) factored_{cname}",
+                          flush=True)
+                    return 0.0
+                raise
+        check(f"factored_{cname}", _fam)
     check("dwt2_filter", lambda: rt(x2, wf, 4))
     check("dwt2_lifting", lambda: rt(x2, wl, 4))
     check("dwt2_zeropad", lambda: rt(x2, wz, 3))

@@ -25,19 +25,37 @@ import numpy as np
 def _timeit(fn, x, iters):
     # single shared chained-barrier implementation (profiling.time_fn):
     # the suite, the regression grid, and the A/B scripts all time
-    # through it so the methodology cannot drift.
+    # through it so the methodology cannot drift.  Round-5 fix: a FIXED
+    # iters drowned sub-ms cells in the tunnel's per-dispatch RTT and
+    # the scalar-barrier noise floor (the r5 first capture read NaNs
+    # and physically-impossible times on small cells) — a short pilot
+    # sizes iters so each cell accumulates ~150 ms of work, capped to
+    # keep dispatch-bound tiny cells from taking minutes.
+    import math
     from wavelets_tpu.profiling import time_fn
-    return time_fn(fn, x, iters)
+    dt = time_fn(fn, x, iters)
+    total = 0.15
+    want = iters if not (dt == dt) else int(min(300, max(
+        iters, math.ceil(total / max(dt, 1e-5)))))
+    if want > iters * 2 or not (dt == dt):
+        dt = time_fn(fn, x, max(want, 2 * iters))
+    return dt
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--force-cpu-full", action="store_true",
+                    help="run the FULL reference grid on the CPU backend "
+                         "(the gpu_benchmark.jl-style CPU side; used by "
+                         "suite_compare.py)")
     args = ap.parse_args()
 
     import os
     import jax
+    if args.force_cpu_full:
+        jax.config.update("jax_platforms", "cpu")
     cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                            "/tmp/wavelets_tpu_jax_cache")
     try:
@@ -53,6 +71,7 @@ def main():
     platform = jax.devices()[0].platform
     on_cpu = platform == "cpu"
     iters = 3 if on_cpu else 10
+    full_shapes_on_cpu = args.force_cpu_full
     rng = np.random.default_rng(0)
 
     wavelets = {
@@ -62,7 +81,7 @@ def main():
         "cdf97/lifting": w.wt.wavelet(w.wt.cdf97, "lifting"),
     }
 
-    if args.quick or on_cpu:
+    if (args.quick or on_cpu) and not full_shapes_on_cpu:
         shapes_1d = [2 ** 10, 2 ** 15]
         shapes_2d = [(128, 128), (512, 512)]
         shapes_3d = [(32, 32, 32)]

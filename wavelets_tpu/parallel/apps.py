@@ -189,6 +189,13 @@ def noisest(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, L: int = 1,
         y = _mesh_dwt(x, wt, int(L), mesh, axis_name, True)
     m = y.shape[0]
     dr = y[m >> L: m >> (L - 1)].reshape(-1)
+    # same deterministic subsample cap as threshold.noisest (round 5):
+    # a full-band median SORTS the band (~850 ms at 16k²), and the two
+    # estimators must stay consistent on arrays above the cap
+    cap = 1 << 18
+    if dr.shape[0] > cap:
+        stride = -(-dr.shape[0] // cap)
+        dr = dr[::stride]
     med = jnp.median(dr)
     return jnp.median(jnp.abs(dr - med)) / 0.6745
 

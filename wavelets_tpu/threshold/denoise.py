@@ -81,6 +81,17 @@ def noisest(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, L: int = 1):
     r = detailrange(y.shape[0], L)
     dr = y.reshape(y.shape[0], -1)[r.start: r.stop].reshape(-1) if y.ndim > 1 \
         else y[r.start: r.stop]
+    # Deterministic stride subsample above 2^18 coefficients: jnp.median
+    # sorts, and sorting the FULL detail band of a 16k² image (134M
+    # elements) cost ~850 ms on device — the dominant term of the whole
+    # TI-denoise stack (round-5 decomposition).  The reference medians
+    # only an n/2-element flat chunk (denoising.jl:100-101, the linear-
+    # indexing quirk PARITY.md records), so a 256k-sample MAD is still
+    # strictly more data than parity requires.
+    cap = 1 << 18
+    if dr.shape[0] > cap:
+        stride = -(-dr.shape[0] // cap)
+        dr = dr[::stride]
     med = jnp.median(dr)
     return jnp.median(jnp.abs(dr - med)) / 0.6745
 
