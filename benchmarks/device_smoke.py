@@ -128,39 +128,6 @@ def main():
     check("dwt1_lifting", lambda: rt(x1, wl, 6))
     check("dwt1_factored_lifting", lambda: rt(x1, wfac, 4))
 
-    # Factored-scheme property sweep (VERDICT r4 item 8): every non-batt
-    # orthonormal class rides the device kernels — f32 1-D + 2-D round
-    # trips and the cross-engine check (lifting-factored vs filter
-    # coefficients of the same class).  batt* is the documented refusal
-    # (truncated IIR, det != 1 — wt/factor.py).
-    xf1 = rng.standard_normal(1 << 13).astype(np.float32)
-    xf2 = rng.standard_normal((256, 256)).astype(np.float32)
-    for cname, cls in sorted(w.wt.ALL_CLASSES.items()):
-        if cname.startswith("batt") or cname in ("haar", "cdf97"):
-            continue        # haar/cdf97 ride stock schemes, not the
-            # factorization; batt* is refused (see above)
-        def _fam(cls=cls):
-            try:
-                wlf = w.wt.wavelet(cls, "lifting")
-                wff = w.wt.wavelet(cls, "filter")
-                e1 = rt(xf1, wlf, 3)
-                e2 = rt(xf2, wlf, 2)
-                # cross-engine: factored lifting must produce the filter
-                # bank's coefficients (same class, same transform)
-                ylf = w.dwt(jnp.asarray(xf1), wlf, 3)
-                yff = w.dwt(jnp.asarray(xf1), wff, 3)
-                scale = float(jnp.max(jnp.abs(yff)))
-                ex = jnp.max(jnp.abs(ylf - yff)) / scale
-                return jnp.maximum(jnp.maximum(e1, e2), ex)
-            except ValueError as e:
-                if "numerically unstable" in str(e):
-                    # the documented f32 stability refusal (vaid:
-                    # commit 0d806c6) — a correct gate, not a failure
-                    print(f"REFUSED(f32-stability-gate) factored_{cname}",
-                          flush=True)
-                    return 0.0
-                raise
-        check(f"factored_{cname}", _fam)
     check("dwt2_filter", lambda: rt(x2, wf, 4))
     check("dwt2_lifting", lambda: rt(x2, wl, 4))
     check("dwt2_zeropad", lambda: rt(x2, wz, 3))
@@ -209,6 +176,47 @@ def main():
         y = w.matchingpursuit(jnp.asarray(x1[:256]), f, ft, 1e-3, 20)
         return 0.0 if np.isfinite(np.asarray(y)).all() else float("nan")
     check("matchingpursuit", _pursuit)
+
+    # Factored-scheme property sweep (VERDICT r4 item 8) — runs LAST:
+    # a failed dispatch poisons this process's backend (see check()),
+    # so a mid-sweep lowering failure can only cost factored rows,
+    # not the core families (code-review r5): every non-batt
+    # orthonormal class rides the device kernels — f32 1-D + 2-D round
+    # trips and the cross-engine check (lifting-factored vs filter
+    # coefficients of the same class).  batt* is the documented refusal
+    # (truncated IIR, det != 1 — wt/factor.py).
+    xf1 = rng.standard_normal(1 << 13).astype(np.float32)
+    xf2 = rng.standard_normal((256, 256)).astype(np.float32)
+    for cname, cls in sorted(w.wt.ALL_CLASSES.items()):
+        if cname.startswith("batt") or cname in ("haar", "cdf97"):
+            continue        # haar/cdf97 ride stock schemes, not the
+            # factorization; batt* is refused (see above)
+        def _fam(cls=cls):
+            try:
+                wlf = w.wt.wavelet(cls, "lifting")
+                wff = w.wt.wavelet(cls, "filter")
+                e1 = rt(xf1, wlf, 3)
+                e2 = rt(xf2, wlf, 2)
+                # cross-engine: factored lifting must produce the filter
+                # bank's coefficients (same class, same transform)
+                ylf = w.dwt(jnp.asarray(xf1), wlf, 3)
+                yff = w.dwt(jnp.asarray(xf1), wff, 3)
+                scale = float(jnp.max(jnp.abs(yff)))
+                ex = float(jnp.max(jnp.abs(ylf - yff)) / scale)
+                res = float(max(float(e1), float(e2), ex))
+                # observed family envelope is <= ~1.2e-4; a finite-but-
+                # large mismatch must FAIL, not PASS (the harness only
+                # checks finiteness)
+                return res if res <= 1e-3 else float("nan")
+            except ValueError as e:
+                if "numerically unstable" in str(e):
+                    # the documented f32 stability refusal (vaid:
+                    # commit 0d806c6) — a correct gate, not a failure
+                    print(f"REFUSED(f32-stability-gate) factored_{cname}",
+                          flush=True)
+                    return 0.0
+                raise
+        check(f"factored_{cname}", _fam)
 
     ok = all(r.get("ok") for r in RESULTS.values()) and not ABORTED
     print(json.dumps({"device_smoke_ok": ok,

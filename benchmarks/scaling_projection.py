@@ -51,10 +51,14 @@ def main():
         "residual_rms_ms": (sum(r * r for r in resid)
                             / len(resid)) ** 0.5 * 1e3,
         "validation": [
+            # the FITTED model only (α; β is unidentifiable from the
+            # constant-size halo messages, so no bandwidth term is
+            # invented here — mixing in a preset β misrepresented the
+            # fit, code-review r5); residual_ms above is measured minus
+            # this same quantity
             {"level": lv["level"],
              "measured_halo_ms": lv["t_halo_only_ms"],
-             "model_halo_ms": 2 * alpha * 1e3
-             + 2 * halo_rows * n * itemsize / 2.5e10 * 1e3}
+             "model_halo_ms": 2 * alpha * 1e3}
             for lv in levels],
     }
 

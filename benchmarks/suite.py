@@ -33,12 +33,20 @@ def _timeit(fn, x, iters):
     # keep dispatch-bound tiny cells from taking minutes.
     import math
     from wavelets_tpu.profiling import time_fn
-    dt = time_fn(fn, x, iters)
     total = 0.15
-    want = iters if not (dt == dt) else int(min(300, max(
-        iters, math.ceil(total / max(dt, 1e-5)))))
-    if want > iters * 2 or not (dt == dt):
-        dt = time_fn(fn, x, max(want, 2 * iters))
+    # cheap 2-iteration pilot sizes the real run (a full-length pilot
+    # doubled the grid's wall clock on fast cells — code-review r5); a
+    # NaN pilot (below the barrier noise floor) sizes toward the full
+    # budget at a conservative per-iter guess instead of a blind 2x
+    pilot = time_fn(fn, x, 2)
+    if not (pilot == pilot):
+        want = min(300, max(4 * iters, int(total / 1e-3)))
+    else:
+        want = int(min(300, max(iters, math.ceil(total / max(pilot,
+                                                             1e-5)))))
+    dt = time_fn(fn, x, want)
+    if not (dt == dt):      # still below floor: one escalation
+        dt = time_fn(fn, x, 300)
     return dt
 
 

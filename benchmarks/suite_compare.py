@@ -41,6 +41,13 @@ def run_suite(extra):
         line = line.strip()
         if line.startswith("{"):
             rows.append(json.loads(line))
+    # a non-zero exit after SOME rows (device wedge window mid-grid)
+    # must not be silently merged as a complete artifact
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"suite.py {extra} exited {r.returncode} after {len(rows)} "
+            f"rows — refusing to write a partial grid:\n"
+            f"{r.stdout[-1500:]}\n{r.stderr[-1500:]}")
     if not rows:
         raise RuntimeError(
             f"suite.py {extra} produced no rows:\n{r.stdout[-2000:]}\n"

@@ -226,3 +226,24 @@ def test_ti_spin_host_loop_matches_vmap_path():
                            L, dnt.th, smax, x.shape)
     got = np.asarray(acc) / len(shifts)
     assert np.allclose(got, ref, atol=1e-12)
+
+
+def test_bestbasis_nonperiodic_stays_on_flat_path(monkeypatch):
+    """The transposed deep-depth packet path is periodic-only; zeropad/
+    symmetric lifting wavelets must produce the SAME tree as the
+    boundary-aware flat formulation (code-review r5: the ungated
+    transposed path silently computed periodic deep levels, 0.37
+    max-abs coefficient error at seg=64)."""
+    from wavelets_tpu.threshold import entropy as E
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(512)
+    for boundary in ("zeropad", "symmetric", "periodic"):
+        wt = w.wt.wavelet(w.wt.cdf97, "lifting", boundary)
+        got = w.bestbasistree(x, wt)
+        # force the flat path everywhere as the reference
+        monkeypatch.setattr(E, "_T_SEG", 0)
+        E._bbt_jit._clear_cache()
+        ref = w.bestbasistree(x, wt)
+        monkeypatch.setattr(E, "_T_SEG", 128)
+        E._bbt_jit._clear_cache()
+        assert np.array_equal(got, ref), boundary

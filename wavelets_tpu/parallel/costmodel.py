@@ -102,11 +102,11 @@ def tail_switch_level(m, n_cols, itemsize, halo_rows, nd, L,
     halo; L+1 when halo wins everywhere (the measured MODWT verdict —
     BENCHMARKS.md round 4: halo beat forced gather at every reachable
     ratio).  The structural bound (shard smaller than the halo reach)
-    still applies on top of this in the driver."""
-    import os
-    ov = os.environ.get("WAVELETS_TPU_SHARD_TAIL_LEVEL")
-    if ov is not None:
-        return int(ov)
+    still applies on top of this in the driver.
+
+    This is the pure MODEL: the WAVELETS_TPU_SHARD_TAIL_LEVEL override
+    lives in the sharded DRIVER, not here — a leftover driver env var
+    must not corrupt projection artifacts (code-review r5)."""
     for lvl in range(1, L + 1):
         m_l = m >> (lvl - 1)
         if m_l // nd < max(2, halo_rows):

@@ -425,7 +425,8 @@ def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw):
     from .costmodel import SCENARIOS, tail_switch_level
     sc = SCENARIOS.get(os.environ.get("WAVELETS_TPU_SHARD_SCENARIO", "ici"),
                        SCENARIOS["ici"])
-    switch = tail_switch_level(
+    ov = os.environ.get("WAVELETS_TPU_SHARD_TAIL_LEVEL")
+    switch = int(ov) if ov is not None else tail_switch_level(
         shape[0], max(1, prod(shape[1:])), np.dtype(x.dtype).itemsize,
         halo, nd, L, sc)
 

@@ -208,10 +208,16 @@ def _bbt_jit(y, tree_packed, *, wt, Lmax, et, active_L, has_tree):
     nrm = jnp.linalg.norm(y)
     x = y
     entr = []
+    # the transposed deep-depth path builds on the PERIODIC band closed
+    # forms (level_bands + wrapping rolls); non-periodic boundaries must
+    # stay on the boundary-aware flat path (code-review r5 finding: a
+    # zeropad wavelet silently got periodic deep levels, 0.37 max-abs
+    # coefficient error at seg=64)
+    periodic = getattr(wt, "boundary", "periodic") == "periodic"
     T = None
     for d in range(Lmax):
         seg = n >> d
-        if T is None and seg < _T_SEG and seg >= 2:
+        if T is None and periodic and seg < _T_SEG and seg >= 2:
             T = x.reshape(2 ** d, seg).T          # enter transposed mode
         if T is None:
             segs = x.reshape(2 ** d, seg)
