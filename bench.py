@@ -94,7 +94,17 @@ def main():
     from wavelets_tpu.profiling import time_fn
 
     iters = 20 if platform != "cpu" else 3
-    dt = time_fn(step, x, iters)
+
+    def med3(fn, arg):
+        """Median of three independent chained-loop measurements: the
+        session's instantaneous weather moves readings by ±3-7% between
+        adjacent captures (round-5 drift study — in-process idwt2 is
+        stable but capture-to-capture spread straddled the sol bar);
+        the median of three is the honest low-variance estimator, and
+        the SAME estimator calibrates the copy floor below."""
+        return sorted(time_fn(fn, arg, iters) for _ in range(3))[1]
+
+    dt = med3(step, x)
 
     # In-session roofline calibration: the tunneled chip's streaming
     # bandwidth varies BY SESSION (shared tenancy; 210-400 GB/s observed),
@@ -102,7 +112,7 @@ def main():
     # speed-of-light.  SOL for the fused single-pass pyramid = read x +
     # write y once per level, geometric over levels (4/3).
     copy = jax.jit(lambda v: v + 1.0)
-    dt_copy = time_fn(copy, x, iters)
+    dt_copy = med3(copy, x)
     bw = 2 * x.size * np.dtype(dtype).itemsize / dt_copy / 1e9
     sol = (2 * x.size * np.dtype(dtype).itemsize * (4 / 3)) / (bw * 1e9)
 
@@ -138,9 +148,9 @@ def main():
     if platform != "cpu":
         try:
             xb = x.astype(jnp.bfloat16)
-            dt_copy_b = time_fn(copy, xb, iters)
+            dt_copy_b = med3(copy, xb)
             bw_b = 2 * xb.size * 2 / dt_copy_b / 1e9
-            dtb = time_fn(step, xb, iters)
+            dtb = med3(step, xb)
             solb = (2 * x.size * 2 * (4 / 3)) / (bw_b * 1e9)
             out["bf16_gsps"] = round(size * size / dtb / 1e9, 4)
             out["bf16_copy_bw_gbps"] = round(bw_b, 1)
@@ -190,8 +200,14 @@ def main():
         except Exception:
             y2 = None
         if y2 is not None:
-            _try("idwt2_16k_L8_ms",
-                 lambda v: _dwt_jit(v, wt, levels, 2, False), y2)
+            # median-of-3 like the headline: this metric carries a sol
+            # bar and capture-to-capture weather spread straddles it
+            try:
+                out["idwt2_16k_L8_ms"] = round(sorted(
+                    time_fn(lambda v: _dwt_jit(v, wt, levels, 2, False),
+                            y2, 10) for _ in range(3))[1] * 1e3, 3)
+            except Exception:
+                out["idwt2_16k_L8_ms"] = None
         else:
             out["idwt2_16k_L8_ms"] = None
         # inverse sol vs the same 2-pass-x-4/3 roofline as the forward
@@ -203,8 +219,9 @@ def main():
         # directions; rides the tn=8192 bf16 tiles)
         try:
             yb2 = _dwt_jit(x.astype(jnp.bfloat16), wt, levels, 2, True)
-            _try("idwt2_bf16_16k_L8_ms",
-                 lambda v: _dwt_jit(v, wt, levels, 2, False), yb2)
+            out["idwt2_bf16_16k_L8_ms"] = round(sorted(
+                time_fn(lambda v: _dwt_jit(v, wt, levels, 2, False),
+                        yb2, 10) for _ in range(3))[1] * 1e3, 3)
             if out.get("idwt2_bf16_16k_L8_ms") and "bf16_sol_fraction" in out:
                 out["idwt2_bf16_sol_fraction"] = round(
                     solb / (out["idwt2_bf16_16k_L8_ms"] * 1e-3), 3)

@@ -398,6 +398,13 @@ def modwt(x, wt: OrthoFilter, L: int | None = None,
         from ..utils.indexing import maxmodwttransformlevels
         L = maxmodwttransformlevels(N)
     L = int(L)
+    if nd == 1:
+        # a 1-device mesh has no ring: the single-chip path is
+        # identical — and skips L+1 per-level shard_map compiles, which
+        # cost ~20 minutes through this platform's remote compiler
+        # (round-5 example-tour find)
+        from ..transforms import modwt as _modwt_single
+        return _modwt_single(x, wt, L)
     g, h = modwt_ops.modwt_filter_pair(wt)
 
     def level(v, j):
@@ -426,6 +433,9 @@ def imodwt(xw, wt: OrthoFilter, mesh: Mesh | None = None,
     N = xw.shape[0]
     nd = mesh.shape[axis_name]
     L = xw.shape[-1] - 1
+    if nd == 1:
+        from ..transforms import imodwt as _imodwt_single
+        return _imodwt_single(xw, wt)       # see modwt: no ring on 1 dev
     g, h = modwt_ops.modwt_filter_pair(wt)
 
     def level(v, w, j):
