@@ -424,13 +424,15 @@ def test_plan_inv_envelope_pins(monkeypatch):
     db4 = w.wt.wavelet(w.wt.db4)
     batt = w.wt.wavelet(w.wt.batt6)
     for n in (16384, 8192, 4096):
-        # bf16 rides tn=8192 where divisibility allows (the itemsize-
-        # aware VMEM formula admits it; device-measured -8% on the full
-        # idwt2 and compile-verified up to hm2=32, round 5)
+        # round-5 retunes: bf16 rides tn=8192 where divisibility allows
+        # (itemsize-aware VMEM formula; device-measured -8% on the full
+        # idwt2, compile-verified to hm2=32); f32 rides SHORT-WIDE
+        # tm=64 tiles where hm2 <= 16 (another -10%; tall tiles lose)
         tn_b = 8192 if n % 8192 == 0 else 4096
-        assert M._plan_inv(n, n, cdf, np.float32) == (128, 4096, 8, 128)
+        tn_f = 8192 if n % 8192 == 0 else 4096
+        assert M._plan_inv(n, n, cdf, np.float32) == (64, tn_f, 8, 128)
         assert M._plan_inv(n, n, cdf, jnp.bfloat16) == (128, tn_b, 16, 128)
-        assert M._plan_inv(n, n, db4, np.float32) == (128, 4096, 8, 128)
+        assert M._plan_inv(n, n, db4, np.float32) == (64, tn_f, 8, 128)
         assert M._plan_inv(n, n, batt, np.float32) == (128, 4096, 32, 128)
         assert M._plan_inv(n, n, batt, jnp.bfloat16) == (128, tn_b, 32, 128)
         # forward plans at the same shapes (the VMEM gate's other user):
@@ -439,14 +441,18 @@ def test_plan_inv_envelope_pins(monkeypatch):
         assert M._plan(n, n, batt, np.float32) == (128, 2048, 64)
         assert M._plan(n, n, batt, jnp.bfloat16) == (128, 4096, 64)
     # the small-shape end of the ladder (the one CPU tests exercise)
-    assert M._plan_inv(768, 768, cdf, np.float32) == (128, 256, 8, 128)
+    assert M._plan_inv(768, 768, cdf, np.float32) == (64, 256, 8, 128)
 
 
 def test_plan_inv_tn_override_sanity_ceiling(monkeypatch):
     """WAVELETS_TPU_MXU_INV_TN is trusted past the VMEM gate for A/Bs,
     but an estimate beyond ~2x the gate is rejected (falls back to the
     ladder) instead of risking an over-VMEM remote compile, which can
-    wedge the tunneled device (ADVICE r3)."""
+    wedge the tunneled device (ADVICE r3).  Pinned at tm=128, where the
+    VMEM boundary was measured (the round-5 tm=64 default shrinks the
+    estimate enough that tn=16384 falls inside the 2x trust ceiling —
+    override-trust semantics, not a regression)."""
+    monkeypatch.setenv("WAVELETS_TPU_MXU_INV_TM", "128")
     cdf = w.wt.wavelet(w.wt.cdf97, "lifting")
     base = M._plan_inv(16384, 16384, cdf, np.float32)
     monkeypatch.setenv("WAVELETS_TPU_MXU_INV_TN", "16384")

@@ -1009,11 +1009,20 @@ def _plan_inv(ml: int, nl: int, wt, dtype):
     # itself (whole quadrant row in one tile)
     if nh % hn2 or nh // hn2 < 1:
         return None
-    # taller inverse tiles are the axis-0 lesson's 2-D analogue (tall
-    # tiles grow the dense col-dot K, which blocking then cuts —
-    # axis0._axis0_blk landed every direction/dtype on the DMA floor);
-    # 128 stays the validated default, override for A/Bs
-    tm = int(os.environ.get("WAVELETS_TPU_MXU_INV_TM", "128"))
+    # Tile aspect (round-5 sweeps): TALL inverse tiles lose in 2-D
+    # (tm ∈ {256, 512}: 7.2-8.6 vs 5.9 ms — the quadrant ext operands
+    # outgrow what blocked col dots save), but SHORT-WIDE tiles WIN for
+    # f32 — tm=64 fits tn=8192 under the VMEM formula (lane-halo
+    # re-read 12.5% -> 6.25%) and halves the col-dot K: f32 idwt2 16k
+    # L8 6.07-6.28 -> 5.45-5.78 ms across 3 interleaved rounds (642
+    # GB/s session).  bf16 measured the OPPOSITE (2.74-2.96 at tm=128
+    # vs 3.22-3.36) and keeps 128.  tm=64 needs tm >= 4*hm2, so
+    # large-halo wavelets (batt6 hm2=32) stay at 128.  Compile
+    # envelope device-verified: (64, 8192) f32+bf16 up to hm2=16.
+    # WAVELETS_TPU_MXU_INV_TM overrides.
+    dflt = "64" if (np.dtype(dtype) == np.dtype(np.float32)
+                    and hm2 <= 16) else "128"
+    tm = int(os.environ.get("WAVELETS_TPU_MXU_INV_TM", dflt))
     while tm >= 4 * hm2:
         tm2 = tm // 2
         if ml % tm == 0 and tm2 % hm2 == 0 and mh % hm2 == 0:
