@@ -436,8 +436,11 @@ def test_plan_inv_envelope_pins(monkeypatch):
         assert M._plan_inv(n, n, batt, np.float32) == (128, 4096, 32, 128)
         assert M._plan_inv(n, n, batt, jnp.bfloat16) == (128, tn_b, 32, 128)
         # forward plans at the same shapes (the VMEM gate's other user):
-        # batt6 f32's extended tile exceeds the 2.55 MB line at tn=4096
+        # batt6 f32's extended tile exceeds the 2.55 MB line at tn=4096;
+        # bf16 (no-split bodies, 2.9 MB gate) rides tn=8192 up to hm=16
         assert M._plan(n, n, cdf, np.float32) == (128, 4096, 8)
+        assert M._plan(n, n, cdf, jnp.bfloat16) == (
+            (128, 8192, 16) if n % 8192 == 0 else (128, 4096, 16))
         assert M._plan(n, n, batt, np.float32) == (128, 2048, 64)
         assert M._plan(n, n, batt, jnp.bfloat16) == (128, 4096, 64)
     # the small-shape end of the ladder (the one CPU tests exercise)

@@ -185,7 +185,10 @@ def _plan(m: int, n: int, wt, dtype):
     # candidate, guarded by the measured VMEM boundary below;
     # WAVELETS_TPU_MXU_TN prepends a preferred width.
     tn_env = os.environ.get("WAVELETS_TPU_MXU_TN")
-    cands = (4096, 2048, 1024, 512, 256)
+    # 8192 leads the ladder for bf16 (no-split bodies fit its extended
+    # tile; fw bf16 2.75-2.88 -> 2.59-2.73 ms, bit-exact, round 5); the
+    # f32 gate below drops it automatically
+    cands = (8192, 4096, 2048, 1024, 512, 256)
     if tn_env:   # preferred width, falling back to the standard ladder
         cands = (int(tn_env),) + cands
     tn = next((c for c in cands if n % c == 0), None)
@@ -216,7 +219,16 @@ def _plan(m: int, n: int, wt, dtype):
     # limit).  Drop to the next narrower tn when over the line instead
     # of failing at compile time.
     itemsize = np.dtype(dtype).itemsize
-    while tn > 256 and (tm + 2 * hm) * (tn + 256) * itemsize > 2_550_000:
+    # the 2.55 MB extended-tile boundary was measured on f32 SPLIT
+    # bodies (hi/lo pairs double the live set per tile byte); bf16
+    # bodies carry no splits, so their boundary sits higher — the
+    # round-5 device probes put it between 2.70 MB (hm=16 at tn=8192:
+    # compiles, quads + packed) and 3.24 MB (hm=32: OOMs), so the bf16
+    # gate is 2.9 MB.  WAVELETS_TPU_MXU_VMEM_KB overrides for probes.
+    gate = int(os.environ.get("WAVELETS_TPU_MXU_VMEM_KB", "0")) * 1024
+    if not gate:
+        gate = 2_550_000 if itemsize >= 4 else 2_900_000
+    while tn > 256 and (tm + 2 * hm) * (tn + 256) * itemsize > gate:
         tn //= 2
     if n % tn:
         return None
