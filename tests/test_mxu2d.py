@@ -377,7 +377,7 @@ def test_mxu_bf16_3d():
     assert np.abs(xr - np.asarray(x, np.float64)).max() < 0.08 * scale
 
 
-@pytest.mark.parametrize("body", ["v2", "v3", "v4", "v5"])
+@pytest.mark.parametrize("body", ["v2", "v3", "v4", "v5", "v7", "v7q"])
 def test_mxu_alt_bodies_match_v1(monkeypatch, body):
     """The alternative forward compute bodies (kept as measured negative
     results behind WAVELETS_TPU_MXU_BODY) must stay numerically
@@ -406,7 +406,8 @@ def test_mxu_alt_bodies_match_v1(monkeypatch, body):
     # v4's batched row dot runs split3 (3 separate dots) where v1 runs
     # split3cat (one K-concat dot) — a different f32 reassociation of
     # the same terms (3e-5 class, as the blocked-col tests); v5 only
-    # reorders the V assembly copies (bit-exact)
+    # reorders the V assembly copies and v7 segments them (bit-exact
+    # per-segment v1 math)
     tol = 3e-5 if body == "v4" else 1e-5
     assert max(qd, ld, dd) < tol, (body, qd, ld, dd)
 

@@ -673,6 +673,79 @@ def _fw_quads_body_v4(ins, wr_ref, wc_ref, *, tm, mode, gl, m=_HN, hm=None,
     return (Y[:tm2, :hf], Y[:tm2, hf:], Y[tm2:, :hf], Y[tm2:, hf:])
 
 
+def _fw_quads_body_v7(ins, wr_ref, wc_ref, *, tm, mode, gl, m=_HN, hm=None,
+                      blk=0, nseq=2):
+    """v1 processed in ``nseq`` SEQUENCED lane segments.
+
+    Each segment materializes only its own extended band (ext rows x
+    (tn/nseq + 256) lanes), its split pair, V segment, and Y segment —
+    the inverse's round-3 sequenced-col-dot trick applied to the
+    forward, so the per-step live set shrinks ~nseq-fold and wider tn
+    tiles fit the f32 VMEM envelope (tn=8192 halves the 128-lane halo
+    re-read exactly as it did for the inverse).  Per-segment math is
+    v1's verbatim; segment h covers output lanes [h*tn/nseq,
+    (h+1)*tn/nseq) and returns quadrant column stripes."""
+    nw, nn, ne, ww, cc, ee, sw, ss, se = ins
+    tn = cc.shape[1]
+    seg_w = tn // nseq
+    if seg_w % gl or seg_w < 256:    # segments must hold whole windows
+        return _fw_quads_body(ins, wr_ref, wc_ref, tm=tm, mode=mode,
+                              gl=gl, m=m, hm=hm, blk=blk)
+    nj_seg = seg_w // gl
+    w_ = gl + 2 * m
+    off = _HN - m
+    dt = cc.dtype
+    split = mode in ("split3", "split3cat")
+    wr = _pair(wr_ref[:], mode)
+    wc_p = _pair(wc_ref[:], mode)
+    quads = [[], [], [], []]
+    tm2 = tm // 2
+    for h in range(nseq):
+        lane0 = h * seg_w           # ext-coord start of this segment
+
+        def band(wst, cnt, est):
+            # lanes [lane0, lane0 + seg_w + 256) of the (128|tn|128)
+            # [w | c | e] triple
+            parts = []
+            if lane0 < 128:
+                parts.append(wst[:, lane0:])
+            s = max(lane0 - 128, 0)
+            e = min(lane0 + seg_w + 128, tn)
+            parts.append(cnt[:, s:e])
+            if lane0 + seg_w + 128 > tn:
+                parts.append(est[:, :lane0 + seg_w + 256 - 128 - tn])
+            return parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, axis=1)
+
+        top = band(nw[:], nn[:], ne[:])
+        mid = band(ww[:], cc[:], ee[:])
+        bot = band(sw[:], ss[:], se[:])
+        ext = jnp.concatenate([top, mid, bot], axis=0)
+        ext_p = _pair(ext, mode)
+
+        def win(p, j):
+            a, (hi, lo) = p
+            sl = (slice(None), slice(gl * j + off, gl * j + off + w_))
+            return (a[sl],
+                    ((hi[sl], lo[sl]) if hi is not None else (None, None)))
+
+        pieces = [_dot_f32(win(ext_p, j), wr, mode) for j in range(nj_seg)]
+        S = jnp.concatenate([p[:, : gl // 2] for p in pieces], axis=1)
+        D = jnp.concatenate([p[:, gl // 2:] for p in pieces], axis=1)
+        V = jnp.concatenate([S, D], axis=1).astype(dt)
+        if blk:
+            Y = _col_dot_blocked(wc_p, _pair(V, mode), mode=mode, q=blk,
+                                 hm=hm, tm=tm, dt=dt)
+        else:
+            Y = _dot_f32(wc_p, _pair(V, mode), mode).astype(dt)
+        half = seg_w // 2
+        quads[0].append(Y[:tm2, :half])
+        quads[1].append(Y[:tm2, half:])
+        quads[2].append(Y[tm2:, :half])
+        quads[3].append(Y[tm2:, half:])
+    return tuple(jnp.concatenate(q, axis=1) for q in quads)
+
+
 def _col_blk(dtype=None, fw: bool = True) -> int:
     """Block size q (in output POSITIONS) of the block-shared column dot.
 
@@ -822,6 +895,10 @@ def _quads_any_body(ins, wr_ref, wc_ref, *, tm, hm, mode, gl, m, body,
     if body == "v4":
         return _fw_quads_body_v4(ins, wr_ref, wc_ref, tm=tm, mode=mode,
                                  gl=gl, m=m, hm=hm, blk=blk)
+    if body in ("v7", "v7q"):
+        return _fw_quads_body_v7(ins, wr_ref, wc_ref, tm=tm, mode=mode,
+                                 gl=gl, m=m, hm=hm, blk=blk,
+                                 nseq=4 if body == "v7q" else 2)
     return _fw_quads_body(ins, wr_ref, wc_ref, tm=tm, mode=mode, gl=gl, m=m,
                           hm=hm, blk=blk)
 
@@ -856,8 +933,8 @@ def _pick_col_blk(tm: int, hm: int, body: str, dtype) -> int:
     """Validated block size for the block-shared column dot (0 = off):
     blocks must tile tm, slices must stay sublane-granule-aligned, and
     q = tm/2 is the full-width dot itself (allowed — same math, smaller
-    weight).  Only the v1/v4/v5 bodies route through it."""
-    if body not in ("v1", "v4", "v5"):
+    weight).  Only the v1/v4/v5/v7 bodies route through it."""
+    if body not in ("v1", "v4", "v5", "v7", "v7q"):
         return 0
     q = min(_col_blk(dtype, fw=True), tm // 2)
     from .common import halo_granule
