@@ -81,7 +81,7 @@ def worker(pid: int, port: int) -> None:
         h_need = (len(h) - 1) * dil
 
         def body(gather, vl):
-            w1, v1 = A._modwt_level_body(vl, [h, g], dil, -1, "x", nd, n,
+            w1, v1 = A._modwt_level_body(vl, [h, g], dil, -1, "x", nd,
                                          gather=gather)
             return v1, w1
 

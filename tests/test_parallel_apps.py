@@ -169,3 +169,45 @@ def test_sharded_modwt_gather_frac_override(monkeypatch):
     ref = np.asarray(w.modwt(jnp.asarray(x), wt, 4))
     got = np.asarray(parallel.modwt(jnp.asarray(x), wt, 4, mesh=mesh))
     assert np.abs(ref - got).max() < 1e-10
+
+
+def test_parallel_entries_promote_and_validate():
+    """Code-review r5 regressions: integer input promotes (the level
+    bodies cast taps to the array dtype — int input used to silently
+    zero them), over-large L raises a clean ValueError on every mesh
+    size, parallel.modwt validates L regardless of device count, and
+    TI + wt=None raises like the single-device API."""
+    import jax.numpy as jnp
+    mesh = _mesh()
+    wt = w.wt.wavelet(w.wt.db2)
+    rng = np.random.default_rng(11)
+    xi = (rng.standard_normal((64, 32)) * 100).astype(np.int32)
+    ref = np.asarray(w.dwt(xi, wt, 3))
+    got = np.asarray(parallel.dwt2(parallel.shard_rows(
+        jnp.asarray(xi), mesh), wt, 3, mesh))
+    assert np.allclose(got, ref, atol=1e-9)
+    with pytest.raises(ValueError):
+        parallel.dwt2(jnp.zeros((96, 96)), wt, 6, mesh)
+    with pytest.raises(ValueError):
+        parallel.modwt(jnp.zeros(256), wt, 9, mesh=mesh)
+    with pytest.raises(ValueError):
+        parallel.denoise(jnp.zeros((64, 64)), None, TI=True, mesh=mesh)
+    with pytest.raises(ValueError):
+        w.matchingpursuit(jnp.zeros(16), lambda v: v.reshape(-1),
+                          lambda v: v.reshape(4, 4), 1e-3, 2)
+
+
+def test_denoise_nspin_int_kernel_route(monkeypatch):
+    """nspin as a bare int must work on the kernel-route TI path (it
+    crashed iterating the int while the vmap path accepted it)."""
+    from wavelets_tpu.threshold import denoise as D
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(512).astype(np.float64)
+    wt = w.wt.wavelet(w.wt.cdf97, "lifting")
+    ref = np.asarray(w.denoise(x, wt, L=3, TI=True, nspin=(4,)))
+    # force the kernel-route branch (its internals are XLA-safe on CPU)
+    monkeypatch.setattr(
+        "wavelets_tpu.transforms._kernel_route_exists",
+        lambda *a, **k: True)
+    got = np.asarray(w.denoise(x, wt, L=3, TI=True, nspin=4))
+    assert np.allclose(got, ref, atol=1e-12)

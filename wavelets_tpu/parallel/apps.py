@@ -42,6 +42,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..utils.indexing import maxtransformlevels
+from ..transforms import _as_float
 from ..utils.trees import maketree, isvalidtree, treedepth
 from ..threshold.entropy import (Entropy, ShannonEntropy, _coef_terms,
                                  prune_tree_device)
@@ -128,7 +129,7 @@ def bestbasistree(y, wt: DiscreteWavelet, L: int | None = None,
     if mesh is None:
         mesh = make_mesh(axis=axis_name)
     sharded._require_periodic(wt)
-    y = jnp.asarray(y)
+    y = _as_float(y)
     if y.ndim != 1:
         raise ValueError("bestbasistree expects a 1-D signal")
     n = y.shape[0]
@@ -182,22 +183,15 @@ def noisest(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, L: int = 1,
     detail-band divergence as ``threshold.noisest`` — see PARITY.md)."""
     if mesh is None:
         mesh = make_mesh(axis=axis_name)
-    x = jnp.asarray(x)
+    x = _as_float(x)
     if wt is None:
         y = x
     else:
         y = _mesh_dwt(x, wt, int(L), mesh, axis_name, True)
     m = y.shape[0]
     dr = y[m >> L: m >> (L - 1)].reshape(-1)
-    # same deterministic subsample cap as threshold.noisest (round 5):
-    # a full-band median SORTS the band (~850 ms at 16k²), and the two
-    # estimators must stay consistent on arrays above the cap
-    cap = 1 << 18
-    if dr.shape[0] > cap:
-        stride = -(-dr.shape[0] // cap)
-        dr = dr[::stride]
-    med = jnp.median(dr)
-    return jnp.median(jnp.abs(dr - med)) / 0.6745
+    from ..threshold.denoise import mad_subsampled
+    return mad_subsampled(dr) / 0.6745
 
 
 def denoise(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, *,
@@ -212,7 +206,7 @@ def denoise(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, *,
     accumulating a running sum — peak memory is one extra array."""
     if mesh is None:
         mesh = make_mesh(axis=axis_name)
-    x = jnp.asarray(x)
+    x = _as_float(x)
     if L is None:
         L = min(maxtransformlevels(x), 6)
     if dnt is None:
@@ -220,6 +214,8 @@ def denoise(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, *,
     sigma = noisest(x, wt, 1, mesh, axis_name)
     t = sigma * dnt.t
     if wt is None:
+        if TI:      # match threshold.denoise: no silent non-TI result
+            raise ValueError("TI not supported with wt=None")
         return _threshold(x, dnt.th, t)
 
     def pipe(v):
@@ -294,7 +290,7 @@ def wpt(x, wt: DiscreteWavelet, tree=None, L: int | None = None,
     """
     if mesh is None:
         mesh = make_mesh(axis=axis_name)
-    x = jnp.asarray(x)
+    x = _as_float(x)
     if tree is None:
         L = maxtransformlevels(x.shape[-1]) if L is None else int(L)
         tree = maketree(x.shape[-1], L, "full")
@@ -306,7 +302,7 @@ def iwpt(y, wt: DiscreteWavelet, tree=None, L: int | None = None,
     """Inverse of :func:`wpt`."""
     if mesh is None:
         mesh = make_mesh(axis=axis_name)
-    y = jnp.asarray(y)
+    y = _as_float(y)
     if tree is None:
         L = maxtransformlevels(y.shape[-1]) if L is None else int(L)
         tree = maketree(y.shape[-1], L, "full")
@@ -331,7 +327,7 @@ def _modwt_gather_frac() -> float:
 
 
 def _modwt_level_body(v, taps_list, dil: int, sign: int, axis: str,
-                      nd: int, N: int, gather: bool | None = None):
+                      nd: int, gather: bool | None = None):
     """One dilated periodic correlation per taps vector, on the local
     chunk with explicit halo handling.
 
@@ -373,15 +369,11 @@ def _modwt_level_body(v, taps_list, dil: int, sign: int, axis: str,
     # window from the replicated band
     vfull = lax.all_gather(v, axis, tiled=True)          # (N,)
     j0 = lax.axis_index(axis) * loc
-    outs = []
-    for taps in taps_list:
-        acc = None
-        for k, c in enumerate(taps):
-            rolled = jnp.roll(vfull, k * dil if sign < 0 else -k * dil, axis=0)
-            t = jnp.asarray(c, v.dtype) * rolled
-            acc = t if acc is None else acc + t
-        outs.append(lax.dynamic_slice_in_dim(acc, j0, loc))
-    return outs
+    # same dilated periodic correlation as the single-device engine —
+    # shared closed form, not a re-implementation (code-review r5)
+    return [lax.dynamic_slice_in_dim(
+        modwt_ops._dilated_corr(vfull, taps, dil, sign), j0, loc)
+        for taps in taps_list]
 
 
 def modwt(x, wt: OrthoFilter, L: int | None = None,
@@ -391,13 +383,19 @@ def modwt(x, wt: OrthoFilter, L: int | None = None,
     overlap.jl semantics)."""
     if mesh is None:
         mesh = make_mesh(axis=axis_name)
-    x = jnp.asarray(x)
+    x = _as_float(x)
     N = x.shape[0]
     nd = mesh.shape[axis_name]
     if L is None:
         from ..utils.indexing import maxmodwttransformlevels
         L = maxmodwttransformlevels(N)
     L = int(L)
+    if L < 1 or 2 ** L > N:
+        # validate for EVERY mesh size — the nd>1 gather path happily
+        # computed any L while the nd==1 delegate raised, so the
+        # outcome depended on device count (code-review r5)
+        raise ValueError("too many transform levels (N < 2^L)"
+                         if L >= 1 else "L must be >= 1")
     if nd == 1:
         # a 1-device mesh has no ring: the single-chip path is
         # identical — and skips L+1 per-level shard_map compiles, which
@@ -410,7 +408,7 @@ def modwt(x, wt: OrthoFilter, L: int | None = None,
     def level(v, j):
         def body(vl):
             w1, v1 = _modwt_level_body(vl, [h, g], 2 ** (j - 1), -1,
-                                       axis_name, nd, N)
+                                       axis_name, nd)
             return v1, w1
         return shard_map(body, mesh=mesh, in_specs=(P(axis_name),),
                          out_specs=(P(axis_name), P(axis_name)))(v)
@@ -429,7 +427,7 @@ def imodwt(xw, wt: OrthoFilter, mesh: Mesh | None = None,
     """Inverse of :func:`modwt` for a sharded (N, L+1) array."""
     if mesh is None:
         mesh = make_mesh(axis=axis_name)
-    xw = jnp.asarray(xw)
+    xw = _as_float(xw)
     N = xw.shape[0]
     nd = mesh.shape[axis_name]
     L = xw.shape[-1] - 1
@@ -441,9 +439,9 @@ def imodwt(xw, wt: OrthoFilter, mesh: Mesh | None = None,
     def level(v, w, j):
         def body(vl, wl):
             (tw,) = _modwt_level_body(wl, [h], 2 ** (j - 1), +1,
-                                      axis_name, nd, N)
+                                      axis_name, nd)
             (tv,) = _modwt_level_body(vl, [g], 2 ** (j - 1), +1,
-                                      axis_name, nd, N)
+                                      axis_name, nd)
             return tw + tv
         return shard_map(body, mesh=mesh,
                          in_specs=(P(axis_name), P(axis_name)),

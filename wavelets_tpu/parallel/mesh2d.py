@@ -254,38 +254,42 @@ def _dwt3_grid_jit(x, wt, L, mesh, fw):
     return y
 
 
+def _grid_entry(x, wt, L, mesh, rank):
+    """Shared grid-driver entry validation: int promotion (the level
+    bodies cast taps to the array dtype — int input silently zeroed
+    them), rank check, and L validation (code-review r5)."""
+    from ..transforms import _as_float, _check_levels
+    x = _as_float(x)
+    if mesh is None:
+        mesh = make_mesh2d()
+    if x.ndim != rank:
+        raise ValueError(f"expected rank-{rank} input, got shape {x.shape}")
+    if L is None:
+        L = maxtransformlevels(x)
+    _check_levels(x, int(L), rank)
+    return x, int(L), mesh
+
+
 def dwt3(x, wt, L: int | None = None, mesh: Mesh | None = None):
     """Forward 3-D DWT on a 2-axis device mesh (volume sharded
     P(x, y, None)), packed layout."""
-    if mesh is None:
-        mesh = make_mesh2d()
-    if L is None:
-        L = maxtransformlevels(x)
-    return _dwt3_grid_jit(x, wt, int(L), mesh, True)
+    x, L, mesh = _grid_entry(x, wt, L, mesh, 3)
+    return _dwt3_grid_jit(x, wt, L, mesh, True)
 
 
 def idwt3(y, wt, L: int | None = None, mesh: Mesh | None = None):
     """Inverse of :func:`dwt3`."""
-    if mesh is None:
-        mesh = make_mesh2d()
-    if L is None:
-        L = maxtransformlevels(y)
-    return _dwt3_grid_jit(y, wt, int(L), mesh, False)
+    y, L, mesh = _grid_entry(y, wt, L, mesh, 3)
+    return _dwt3_grid_jit(y, wt, L, mesh, False)
 
 
 def dwt2(x, wt, L: int | None = None, mesh: Mesh | None = None):
     """Forward 2-D DWT on a 2-axis device mesh, packed layout."""
-    if mesh is None:
-        mesh = make_mesh2d()
-    if L is None:
-        L = maxtransformlevels(x)
-    return _dwt2_grid_jit(x, wt, int(L), mesh, True)
+    x, L, mesh = _grid_entry(x, wt, L, mesh, 2)
+    return _dwt2_grid_jit(x, wt, L, mesh, True)
 
 
 def idwt2(y, wt, L: int | None = None, mesh: Mesh | None = None):
     """Inverse of :func:`dwt2`."""
-    if mesh is None:
-        mesh = make_mesh2d()
-    if L is None:
-        L = maxtransformlevels(y)
-    return _dwt2_grid_jit(y, wt, int(L), mesh, False)
+    y, L, mesh = _grid_entry(y, wt, L, mesh, 2)
+    return _dwt2_grid_jit(y, wt, L, mesh, False)

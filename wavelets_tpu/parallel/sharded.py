@@ -401,10 +401,33 @@ def _level_inv_global(active, wt):
     return lifting.idwt_nd_lifting(active, wt, 1, active.ndim)
 
 
-@partial(jax.jit, static_argnames=("wt", "L", "mesh", "axis_name", "fw"))
-def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw):
+def tail_switch_for(shape, dtype, wt, nd, L) -> int:
+    """Deep-tail switch level for an ``shape`` rows-sharded transform:
+    WAVELETS_TPU_SHARD_TAIL_LEVEL override, else the α-β cost model
+    under the WAVELETS_TPU_SHARD_SCENARIO preset.  Computed OUTSIDE the
+    jitted driver and passed as a static argument — env vars read
+    inside a module-level jit are baked into the cache (the CLAUDE.md
+    A/B trap, previously live in this driver; code-review r5)."""
+    import os
+    from math import prod
+    from .costmodel import SCENARIOS, tail_switch_level
+    ov = os.environ.get("WAVELETS_TPU_SHARD_TAIL_LEVEL")
+    if ov is not None:
+        return int(ov)
+    sc = SCENARIOS.get(os.environ.get("WAVELETS_TPU_SHARD_SCENARIO", "ici"),
+                       SCENARIOS["ici"])
+    return tail_switch_level(
+        shape[0], max(1, prod(shape[1:])), np.dtype(dtype).itemsize,
+        _halo_rows(wt), nd, L, sc)
+
+
+@partial(jax.jit, static_argnames=("wt", "L", "mesh", "axis_name", "fw",
+                                   "tail"))
+def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw, tail=None):
     """N-D sharded multi-level driver: axis 0 sharded over the mesh ring,
-    remaining axes local.  Works for 2-D images and 3-D volumes."""
+    remaining axes local.  Works for 2-D images and 3-D volumes.
+    ``tail`` — the deep-tail switch level (see tail_switch_for); None =
+    compute at trace time (legacy callers)."""
     _check_boundary(wt)
     nd = mesh.shape[axis_name]
     if nd == 1:
@@ -417,18 +440,9 @@ def _dwt_sharded_jit(x, wt, L, mesh, axis_name, fw):
     # deep-tail policy: halo while the α-β cost model prefers it (it
     # does at every reachable level on both ici and dcn presets —
     # SCALING_r05.json; the measured MODWT crossover agrees), gather
-    # (the global-formulation fallback) beyond.  Env overrides:
-    # WAVELETS_TPU_SHARD_TAIL_LEVEL pins the switch level directly,
-    # WAVELETS_TPU_SHARD_SCENARIO picks the transport preset.
-    import os
-    from math import prod
-    from .costmodel import SCENARIOS, tail_switch_level
-    sc = SCENARIOS.get(os.environ.get("WAVELETS_TPU_SHARD_SCENARIO", "ici"),
-                       SCENARIOS["ici"])
-    ov = os.environ.get("WAVELETS_TPU_SHARD_TAIL_LEVEL")
-    switch = int(ov) if ov is not None else tail_switch_level(
-        shape[0], max(1, prod(shape[1:])), np.dtype(x.dtype).itemsize,
-        halo, nd, L, sc)
+    # (the global-formulation fallback) beyond.
+    switch = tail if tail is not None else tail_switch_for(
+        shape, x.dtype, wt, nd, L)
 
     if isinstance(wt, OrthoFilter):
         h, g = filter_fb.filter_pair(wt)
@@ -495,11 +509,22 @@ def _check_boundary(wt):
 def _sharded(x, wt, L, mesh, axis_name, fw, rank):
     if mesh is None:
         mesh = make_mesh(axis=axis_name)
+    # integer inputs must promote BEFORE the kernels (the level bodies
+    # cast the filter taps to the array dtype — int input silently
+    # truncated the taps to zero; code-review r5, confirmed on the
+    # virtual mesh) and L must be validated like the single-chip API
+    # (an over-large L died in a deep strippable assert)
+    from ..transforms import _as_float, _check_levels
+    x = _as_float(x)
     if L is None:
         L = maxtransformlevels(x)
     if x.ndim != rank:
         raise ValueError(f"expected rank-{rank} input, got shape {x.shape}")
-    return _dwt_sharded_jit(x, wt, int(L), mesh, axis_name, fw)
+    _check_levels(x, int(L), rank)
+    tail = tail_switch_for(x.shape, x.dtype, wt,
+                           mesh.shape[axis_name], int(L))
+    return _dwt_sharded_jit(x, wt, int(L), mesh, axis_name, fw,
+                            tail=tail)
 
 
 def dwt1(x, wt, L: int | None = None, mesh: Mesh | None = None,

@@ -81,19 +81,25 @@ def noisest(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, L: int = 1):
     r = detailrange(y.shape[0], L)
     dr = y.reshape(y.shape[0], -1)[r.start: r.stop].reshape(-1) if y.ndim > 1 \
         else y[r.start: r.stop]
-    # Deterministic stride subsample above 2^18 coefficients: jnp.median
-    # sorts, and sorting the FULL detail band of a 16k² image (134M
-    # elements) cost ~850 ms on device — the dominant term of the whole
-    # TI-denoise stack (round-5 decomposition).  The reference medians
-    # only an n/2-element flat chunk (denoising.jl:100-101, the linear-
-    # indexing quirk PARITY.md records), so a 256k-sample MAD is still
-    # strictly more data than parity requires.
-    cap = 1 << 18
+    return mad_subsampled(dr) / 0.6745
+
+
+def mad_subsampled(dr, cap: int = 1 << 18):
+    """Median absolute deviation with a deterministic stride subsample
+    above ``cap`` coefficients: jnp.median sorts, and sorting the FULL
+    detail band of a 16k² image (134M elements) cost ~850 ms on device —
+    the dominant term of the whole TI-denoise stack (round-5
+    decomposition).  The reference medians only an n/2-element flat
+    chunk (denoising.jl:100-101, the linear-indexing quirk PARITY.md
+    records), so a 256k-sample MAD is still strictly more data than
+    parity requires.  SHARED by the single-device and sharded noisest —
+    the two estimators must stay identical above the cap (code-review
+    r5)."""
     if dr.shape[0] > cap:
         stride = -(-dr.shape[0] // cap)
         dr = dr[::stride]
     med = jnp.median(dr)
-    return jnp.median(jnp.abs(dr - med)) / 0.6745
+    return jnp.median(jnp.abs(dr - med))
 
 
 def _spin_shifts(nspin, ndim: int) -> np.ndarray:
@@ -169,6 +175,13 @@ def denoise(x, wt: DiscreteWavelet | None = DEFAULT_WAVELET, *,
         raise ValueError("TI not supported with wt=None")
     if nspin is None:
         nspin = tuple(8 for _ in range(x.ndim))
+    elif isinstance(nspin, int):
+        # normalize early: the kernel-route branch iterates nspin (the
+        # int form crashed there while the vmap path accepted it —
+        # code-review r5); _spin_shifts still validates the length
+        nspin = (nspin,)
+    else:
+        nspin = tuple(nspin)
     shifts = _spin_shifts(nspin, x.ndim)
 
     def spin(shift):

@@ -23,6 +23,12 @@ def matchingpursuit(x, f, ft, tol: float, nmax: int = -1):
     assert tol > 0
     x = jnp.asarray(x)
     y0 = jnp.zeros_like(ft(x))
+    if y0.ndim != 1:
+        # the flat argmax below is used as an axis-0 index; a rank>1
+        # dictionary output would silently select wrong atoms (JAX
+        # clips out-of-bounds scatter indices) — code-review r5
+        raise ValueError("matchingpursuit expects ft(x) to be 1-D "
+                         f"(got shape {y0.shape})")
     if nmax == -1:
         nmax = y0.size
 
