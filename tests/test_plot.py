@@ -50,3 +50,14 @@ def test_wplotim_default_levels():
     img = np.random.default_rng(5).standard_normal((16, 16))
     out = np.asarray(w.wplotim(img))
     assert out.shape == (16, 16) and np.isfinite(out).all()
+
+
+def test_wplotim_grayscale_3d_channel():
+    """(n, n, 1) input is documented as supported and must route through
+    the per-channel 2-D transform (code-review r5: the ndt=3 default
+    rejected the size-1 axis)."""
+    rng = np.random.default_rng(5)
+    img = rng.standard_normal((64, 64, 1))
+    wt = w.wt.wavelet(w.wt.db2)
+    out = w.wplotim(img, 2, wt)
+    assert out.shape[0] == 64 and np.isfinite(out).all()

@@ -142,3 +142,11 @@ def test_wpt_odd_length_identity():
     wt = w.wt.wavelet(w.wt.haar)
     assert np.allclose(np.asarray(w.wpt(x, wt)), x)
     assert np.allclose(np.asarray(w.iwpt(x, wt)), x)
+
+
+def test_isdyadic_zero_and_empty():
+    """Predicates answer False on degenerate input, not math-domain
+    errors (code-review r5)."""
+    assert not w.isdyadic(0)
+    assert not w.isdyadic(np.zeros((0, 4)))
+    assert w.isdyadic(np.zeros((4, 8)))

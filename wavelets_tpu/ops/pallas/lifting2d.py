@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...wt.carriers import GLS
 from ...wt.schemes import PREDICT
+from .common import pick_col_tm as _col_tm
 
 __all__ = [
     "lifting_level2", "dwt2_lifting", "idwt2_lifting",
@@ -106,13 +107,7 @@ def _steps_halves_axis0(s, d, scheme: GLS, fw: bool):
 
 # --- tile planning ----------------------------------------------------------
 
-def _col_tm(rows: int, halo: int, cap: int = 1024):
-    tm = cap
-    while tm >= 2 * halo:
-        if rows % tm == 0 and tm % halo == 0:
-            return tm
-        tm //= 2
-    return None
+# (_col_tm import moved to the module header — code-review r5 dedup)
 
 
 def _plan_level(m: int, n: int, scheme: GLS, dtype):

@@ -82,7 +82,10 @@ def _wplotim_nd(x, L: int, wt=None, *, wabs=True, power=0.7, pnorm=1):
     nsc = 2 ** (J - L)
 
     if wt is not None:
-        if x.ndim == 3 and x.shape[2] > 1:
+        if x.ndim == 3:
+            # per-channel 2-D transform — also for (n, n, 1) grayscale
+            # (dwt's default ndt=3 would reject the size-1 axis;
+            # code-review r5)
             x = np.asarray(dwtc(x, wt, L))
         else:
             x = np.asarray(dwt(x, wt, L))

@@ -71,14 +71,7 @@ def _periodic(wt) -> bool:
 def _use_pallas(x, wt, L) -> bool:
     """Route 2-D lifting transforms through the fused Pallas kernels when
     running on TPU hardware (override with WAVELETS_TPU_PALLAS=0/1)."""
-    import os
-    if not _periodic(wt):
-        return False
-    flag = os.environ.get("WAVELETS_TPU_PALLAS")
-    if flag == "0":
-        return False
-    on_tpu = jax.devices()[0].platform.lower() not in ("cpu", "gpu", "rocm")
-    if flag != "1" and not on_tpu:
+    if not _periodic(wt) or not _pallas_enabled():
         return False
     if x.ndim < 2:
         return False
@@ -352,6 +345,10 @@ def _tree_or_levels(tree, L):
         if L is not None and L != tree:
             raise ValueError("give either tree or L, not both")
         return None, int(tree)
+    if tree is not None and L is not None:
+        # the array overload must reject a conflicting L just like the
+        # integer overload does (it was silently dropped; code-review r5)
+        raise ValueError("give either tree or L, not both")
     return tree, L
 
 

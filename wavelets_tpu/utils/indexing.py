@@ -151,7 +151,9 @@ def iscube(x) -> bool:
 def isdyadic(x) -> bool:
     """Every dimension (or the int itself) a power of two?"""
     if isinstance(x, int):
-        return x == 2 ** ndyadicscales(x)
+        # a predicate must answer False for 0/negative, not raise a
+        # math-domain error out of log2 (code-review r5)
+        return x > 0 and x == 2 ** ndyadicscales(x)
     return all(isdyadic(d) for d in _dims(x))
 
 
