@@ -61,3 +61,24 @@ def test_script_imports_resolve(path):
     # every script under benchmarks/ is expected to touch the project
     assert checked or path.name in ("overlap_probe.py",), (
         f"{path.name}: no project imports found — test is not covering it")
+
+
+@pytest.mark.slow
+def test_cpu_safe_harnesses_execute():
+    """Execute (not just import) the harnesses that can run on CPU:
+    the reference grid in --quick mode and the scaling projection.
+    Catches run-time crashes the import guard cannot (the other half of
+    VERDICT r4 item 4's ask)."""
+    import subprocess
+    r = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks" / "suite.py"),
+         "--quick", "--json", "--force-cpu-full"],
+        capture_output=True, text=True, cwd=REPO, timeout=900)
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    rows = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert len(rows) >= 10, f"only {len(rows)} grid rows"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks" / "scaling_projection.py"),
+         "--out", "/tmp/_scaling_test.json"],
+        capture_output=True, text=True, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
